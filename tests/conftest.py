@@ -7,7 +7,10 @@ dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS to the single
+# tunneled TPU chip (axon), which would make eager test dispatches cross
+# the network.  Sharding tests need the virtual 8-device CPU mesh anyway.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
