@@ -1,0 +1,258 @@
+"""Batched sect233k1 group law, scalar multiplication and MSM on TPU.
+
+Replaces the reference's xs233-sys C group layer and its naive MSM
+(reference: src/curve.rs:63-158; SURVEY.md C1/C3).  Design:
+
+* A point batch is `uint32[3, 8, *batch]`: homogeneous projective
+  coordinates (X:Y:Z) with x=X/Z, y=Y/Z over GF(2^233), word axis
+  second so batch axes land on TPU lanes.  Z == 0 encodes infinity.
+* The group addition is a *masked-complete* formula: the generic-add,
+  doubling and infinity cases are all evaluated branch-free and combined
+  with lane-wise selects - uniform control flow, as the TPU wants.
+  (The reference relies on xs233's constant-time complete formulas; we
+  get completeness via masking instead.)
+* Scalar multiplication is a fixed 232-iteration left-to-right
+  double-and-add over bit planes (uniform, batched).  Frobenius/GLV
+  acceleration (xsk233_mul_frob) is an optimization the reference
+  exposes; results are identical, so it can land later without changing
+  any caller (SURVEY.md section 2, C1 note).
+* MSM: batched per-point scalar mul + log-depth pairwise tree reduction
+  - the same algorithm as the reference's rayon map+reduce
+  (reference: src/curve.rs:141-158), but lane-parallel.  Pippenger
+  bucketing slots in behind the same signature.
+
+Formulas (derived from the affine chord/tangent law for
+y^2 + xy = x^3 + 1, verified against the host oracle in tests):
+
+  add (x1 != x2), with W = Z1 Z2, U = Y1 Z2 + Y2 Z1, V = X1 Z2 + X2 Z1:
+      N  = U^2 W + U V W + V^3
+      X3 = N V ,  Z3 = V^3 W ,
+      Y3 = U (X1 V^2 Z2 + N) + V N + Y1 V^3 Z2
+  double, with S = X Z, T = X^2 + Y Z:
+      X3 = T (T + S) S ,  Y3 = X^5 Z + T (T + S)^2 ,  Z3 = S^3
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dvpari_tpu.ops import gf2
+from dvpari_tpu.utils import xsk233_host as host
+
+NBITS = 232  # scalars are canonical Fr elements < p < 2^232
+
+
+# ---------------------------------------------------------------------------
+# Construction / conversion
+# ---------------------------------------------------------------------------
+
+def infinity(batch_shape=()) -> jnp.ndarray:
+    p = np.zeros((3, gf2.NWORD, *batch_shape), dtype=np.uint32)
+    p[1, 0] = 1  # (0 : 1 : 0)
+    return jnp.asarray(p)
+
+
+def generator(batch_shape=()) -> jnp.ndarray:
+    return from_affine_int([(host.GX, host.GY)] if batch_shape else (host.GX, host.GY))
+
+
+def from_affine_int(points) -> jnp.ndarray:
+    """(x, y) int pair, list of pairs, or None (infinity) -> device batch."""
+    if points is None or isinstance(points, tuple):
+        pts = [points]
+        single = True
+    else:
+        pts = list(points)
+        single = False
+    n = len(pts)
+    out = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
+    for j, p in enumerate(pts):
+        if p is None:
+            out[1, 0, j] = 1
+        else:
+            out[0, :, j] = gf2.from_int(p[0])
+            out[1, :, j] = gf2.from_int(p[1])
+            out[2, 0, j] = 1
+    if single:
+        return jnp.asarray(out[:, :, 0])
+    return jnp.asarray(out)
+
+
+def to_affine_int(p):
+    """Device batch -> list of (x, y) tuples / None (host side)."""
+    arr = jax.device_get(p)
+    X, Y, Z = arr[0], arr[1], arr[2]
+    squeeze = X.ndim == 1
+    if squeeze:
+        X, Y, Z = X[:, None], Y[:, None], Z[:, None]
+    xs, ys, zs = gf2.to_int(X), gf2.to_int(Y), gf2.to_int(Z)
+    from dvpari_tpu.utils import gf2_host as gh
+
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zi = gh.inv_int(z)
+            out.append((gh.mul_int(x, zi), gh.mul_int(y, zi)))
+    return out[0] if squeeze else out
+
+
+def is_infinity(p: jnp.ndarray) -> jnp.ndarray:
+    return gf2.is_zero(p[2])
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lane select over the batch shape (True -> a)."""
+    return jnp.where(mask[None, None, ...], a, b)
+
+
+def neg(p: jnp.ndarray) -> jnp.ndarray:
+    """-(x, y) = (x, x + y):  (X : X + Y : Z)."""
+    return jnp.stack([p[0], p[0] ^ p[1], p[2]], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Group law
+# ---------------------------------------------------------------------------
+
+def double(p: jnp.ndarray) -> jnp.ndarray:
+    X, Y, Z = p[0], p[1], p[2]
+    S = gf2.mul(X, Z)
+    X2 = gf2.square(X)
+    T = X2 ^ gf2.mul(Y, Z)
+    TpS = T ^ S
+    TT = gf2.mul(T, TpS)
+    X3 = gf2.mul(TT, S)
+    Y3 = gf2.mul(gf2.mul(gf2.square(X2), X), Z) ^ gf2.mul(TT, TpS)
+    S2 = gf2.square(S)
+    Z3 = gf2.mul(S2, S)
+    return jnp.stack([X3, Y3, Z3], axis=0)
+
+
+def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Masked-complete addition; handles inf, doubling and inverse cases."""
+    X1, Y1, Z1 = p[0], p[1], p[2]
+    X2, Y2, Z2 = q[0], q[1], q[2]
+    Wm = gf2.mul(Z1, Z2)
+    U = gf2.mul(Y1, Z2) ^ gf2.mul(Y2, Z1)
+    V = gf2.mul(X1, Z2) ^ gf2.mul(X2, Z1)
+
+    V2 = gf2.square(V)
+    V3 = gf2.mul(V2, V)
+    UW = gf2.mul(U, Wm)
+    N = gf2.mul(gf2.square(U), Wm) ^ gf2.mul(UW, V) ^ V3
+    X3 = gf2.mul(N, V)
+    Z3 = gf2.mul(V3, Wm)
+    V2Z2 = gf2.mul(V2, Z2)
+    Y3 = (
+        gf2.mul(U, gf2.mul(X1, V2Z2) ^ N)
+        ^ gf2.mul(V, N)
+        ^ gf2.mul(Y1, gf2.mul(V3, Z2))
+    )
+    generic = jnp.stack([X3, Y3, Z3], axis=0)
+
+    dbl = double(p)
+
+    inf_p = gf2.is_zero(Z1)
+    inf_q = gf2.is_zero(Z2)
+    v_zero = gf2.is_zero(V)
+    u_zero = gf2.is_zero(U)
+
+    inf_b = jnp.broadcast_to(
+        infinity().reshape(3, gf2.NWORD, *(1,) * (generic.ndim - 2)), generic.shape
+    )
+    res = jnp.where((v_zero & ~u_zero)[None, None, ...], inf_b, generic)
+    res = jnp.where((v_zero & u_zero)[None, None, ...], dbl, res)
+    res = jnp.where(inf_q[None, None, ...], jnp.broadcast_to(p, generic.shape), res)
+    res = jnp.where(inf_p[None, None, ...], jnp.broadcast_to(q, generic.shape), res)
+    return res
+
+
+def eq(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Projective equality by cross-multiplication (reference:
+    xsk233_equals semantics, src/curve.rs:69-76)."""
+    both_inf = is_infinity(p) & is_infinity(q)
+    one_inf = is_infinity(p) ^ is_infinity(q)
+    x_eq = gf2.eq(gf2.mul(p[0], q[2]), gf2.mul(q[0], p[2]))
+    y_eq = gf2.eq(gf2.mul(p[1], q[2]), gf2.mul(q[1], p[2]))
+    return both_inf | (~one_inf & x_eq & y_eq)
+
+
+# ---------------------------------------------------------------------------
+# Scalar multiplication / MSM
+# ---------------------------------------------------------------------------
+
+def scalars_to_bits(ints) -> np.ndarray:
+    """Canonical scalar ints -> uint32[NBITS, n] bit planes (LSB first)."""
+    ints = list(ints)
+    out = np.zeros((NBITS, len(ints)), dtype=np.uint32)
+    for j, v in enumerate(ints):
+        v = int(v)
+        for i in range(NBITS):
+            out[i, j] = (v >> i) & 1
+    return out
+
+
+def fr_limbs_to_bits(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Device-side: canonical Fr limbs int32[20, *b] -> uint32[232, *b] bits."""
+    from dvpari_tpu.ops import fr
+
+    v = fr.strong_normalize(limbs).astype(jnp.uint32)
+    planes = []
+    for i in range(NBITS):
+        limb, bit = divmod(i, fr.LIMB_BITS)
+        planes.append((v[limb] >> bit) & 1)
+    return jnp.stack(planes, axis=0)
+
+
+def scalar_mul(bits: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """[k]P for bit planes uint32[NBITS, *batch] (LSB first), batched."""
+
+    def body(i, acc):
+        acc = double(acc)
+        bit = bits[NBITS - 1 - i]
+        return select(bit == 1, add(acc, p), acc)
+
+    batch = jnp.broadcast_shapes(bits.shape[1:], p.shape[2:])
+    acc0 = jnp.broadcast_to(
+        infinity().reshape(3, gf2.NWORD, *(1,) * len(batch)),
+        (3, gf2.NWORD, *batch),
+    )
+    p = jnp.broadcast_to(p, acc0.shape)
+    return jax.lax.fori_loop(0, NBITS, body, acc0)
+
+
+def scalar_mul_gen(bits: jnp.ndarray) -> jnp.ndarray:
+    """[k]G (reference: point_scalar_mul_gen, src/curve.rs:129-137)."""
+    g = generator()
+    gb = jnp.broadcast_to(g[..., None].reshape(3, gf2.NWORD, *(1,) * (bits.ndim - 1)),
+                          (3, gf2.NWORD, *bits.shape[1:]))
+    return scalar_mul(bits, gb)
+
+
+def reduce_sum(points: jnp.ndarray) -> jnp.ndarray:
+    """Group-sum over the last batch axis by log-depth pairwise folding."""
+    n = points.shape[-1]
+    while n > 1:
+        half = n // 2
+        a = points[..., :half]
+        b = points[..., half : 2 * half]
+        folded = add(a, b)
+        if n % 2:
+            folded = jnp.concatenate([folded, points[..., 2 * half : n]], axis=-1)
+        points = folded
+        n = points.shape[-1]
+    return points[..., 0]
+
+
+def msm(bits: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Multi-scalar multiplication: sum_i [k_i] P_i.
+
+    bits: uint32[NBITS, n]; points: uint32[3, 8, n].
+    Algorithm mirrors the reference's parallel mul+reduce
+    (reference: src/curve.rs:141-158) with lanes instead of threads.
+    """
+    return reduce_sum(scalar_mul(bits, points))

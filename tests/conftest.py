@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# Persistent compilation cache: most suite time is XLA CPU compiles of the
+# big crypto graphs; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
