@@ -1,0 +1,322 @@
+"""FFTree: the ECFFT polynomial engine over Fr, TPU-batched.
+
+Replaces the reference's `ecfft` crate fork (reference: Cargo.toml:39;
+consumed throughout src/ec_fft.rs).  The FFTree is the data structure
+enabling quasi-linear polynomial ops over Fr domains built from an
+isogeny chain on the auxiliary curve:
+
+* `extend`  - evals on one moiety -> evals on the other (O(N log N)).
+              The only op the prover needs (reference: src/proving.rs:410-422).
+* `enter`   - coefficients -> evals on all leaves (O(N log^2 N)).
+* `exit`    - evals -> coefficients (interpolation).
+* vanishing - coefficients / cross-moiety evaluations of Z_S.
+
+Design notes (TPU-first):
+- The recursive ECFFT algorithms are restructured as *iterative
+  level-synchronous passes*: at depth k all 2^k subproblems live in one
+  array `(20, ..., V, s)` (limb axis, batch axes, subproblem axis,
+  domain axis), so each level is a handful of large elementwise Fr ops -
+  no per-node recursion, no gather/scatter, uniform control flow.
+- A subtree (`subtree_with_size`, reference: src/ec_fft.rs:21-25) is a
+  *view*: stride-2^d slices of the same layer arrays.  The isogeny chain
+  is shared - the subtree over even leaves uses the identical isogenies,
+  so no extra storage.
+- Decompose/recombine 2x2 matrices (the reference FFTree's
+  `decompose_matrices` / `recombine_matrices` fields, src/srs.rs:86-101)
+  are derived from the pair decomposition
+  P(x) = (U0(psi(x)) + x U1(psi(x))) * v(x)^(deg/2) and cached per
+  (view, moiety); a "minimal tree" is one that only caches the top-level
+  S1 consts (reference: src/tree_io.rs:353-433 semantics).
+- `exit` uses P = A + Z0*B with batched-Karatsuba coefficient combine;
+  the extends inside are shared with the forward path.  Results are
+  representation-independent polynomial operations, hence bit-identical
+  to the reference's outputs on the same domains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dvpari_tpu.ops import fr
+from dvpari_tpu.fftree import aux_curve
+from dvpari_tpu.fftree.polyops import polymul, vanishing_poly_coeffs
+
+
+def _log2(n: int) -> int:
+    assert n & (n - 1) == 0
+    return n.bit_length() - 1
+
+
+def _bcast(consts: jnp.ndarray, state_ndim: int) -> jnp.ndarray:
+    """(20, h) level constants -> (20, 1...1, h) against (20, *B, V, s)."""
+    return consts.reshape(
+        (fr.NLIMB,) + (1,) * (state_ndim - 2) + (consts.shape[-1],)
+    )
+
+
+class FFTree:
+    """ECFFT tree over a 2^L-point coset domain of the auxiliary curve."""
+
+    def __init__(self, layers, x0s, shift_by_one: bool, base_log_n: int):
+        self.layers = layers  # list of jnp int32 (20, n_l), l = 0..L
+        self.x0s = x0s  # python ints, per layer with an isogeny
+        self.n = layers[0].shape[-1]
+        self.shift_by_one = shift_by_one
+        self.base_log_n = base_log_n
+        self._ext_cache: dict = {}
+        self._xnn_cache: dict = {}
+        self._zc_cache: dict = {}
+        self._z0odd_cache: dict = {}
+        self._jit_cache: dict = {}
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def build(cls, domain_len: int, shift_by_one: bool, base_log_n: int):
+        """Host-side chain construction (reference: build_sect_ecfft_tree,
+        src/ec_fft.rs:197-239)."""
+        chain = aux_curve.build_chain(domain_len, shift_by_one, base_log_n)
+        layers = [jnp.asarray(fr.from_int(layer.xs)) for layer in chain]
+        x0s = [layer.isogeny.x0 for layer in chain if layer.isogeny is not None]
+        return cls(layers, x0s, shift_by_one, base_log_n)
+
+    # -- views --------------------------------------------------------------
+
+    def leaves(self, d: int = 0) -> jnp.ndarray:
+        """Leaf x-coords of the depth-d subtree view (stride 2^d)."""
+        return self.layers[0][:, :: 1 << d]
+
+    def subtree_size_to_depth(self, size: int) -> int:
+        d = _log2(self.n) - _log2(size)
+        assert d >= 0
+        return d
+
+    def both_domains(self):
+        """(D, D') leaf vectors (reference: get_both_domains,
+        src/ec_fft.rs:179-189)."""
+        return self.layers[0][:, 0::2], self.layers[0][:, 1::2]
+
+    # -- cached constants ---------------------------------------------------
+
+    def _level_consts_fn(self, e: int):
+        """Jitted builder of one level's decompose/recombine constants."""
+        key = ("lvl", e)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def build(s0, s1, t0, t1, x0):
+            v0e = fr.pow_const(fr.sub(s0, x0), e)
+            v1e = fr.pow_const(fr.sub(s1, x0), e)
+            det = fr.mul(fr.mul(v0e, v1e), fr.sub(s1, s0))
+            det_inv = fr.batch_inverse(det, axis=0)
+            d00 = fr.mul(fr.mul(s1, v1e), det_inv)
+            d01 = fr.neg(fr.mul(fr.mul(s0, v0e), det_inv))
+            d10 = fr.neg(fr.mul(v1e, det_inv))
+            d11 = fr.mul(v0e, det_inv)
+            w0e = fr.pow_const(fr.sub(t0, x0), e)
+            w1e = fr.pow_const(fr.sub(t1, x0), e)
+            return (
+                (d00, d01, d10, d11),
+                (w0e, fr.mul(t0, w0e), w1e, fr.mul(t1, w1e)),
+            )
+
+        self._jit_cache[key] = jax.jit(build)
+        return self._jit_cache[key]
+
+    def _extend_consts(self, d: int, moiety: str):
+        key = (d, moiety)
+        if key in self._ext_cache:
+            return self._ext_cache[key]
+        m = self.n >> (d + 1)
+        src_off = 0 if moiety == "S1" else (1 << d)
+        tgt_off = (1 << d) if moiety == "S1" else 0
+        stride = 1 << (d + 1)
+        dec, rec = [], []
+        for k in range(_log2(m)):
+            mk = m >> k
+            half = mk >> 1
+            Lk = self.layers[k]
+            s = Lk[:, src_off::stride]
+            t = Lk[:, tgt_off::stride]
+            s0, s1 = s[:, :half], s[:, half:mk]
+            t0, t1 = t[:, :half], t[:, half:mk]
+            x0 = fr.broadcast_scalar(fr.from_int(self.x0s[k]), (half,))
+            dk, rk = self._level_consts_fn(half - 1)(s0, s1, t0, t1, x0)
+            dec.append(dk)
+            rec.append(rk)
+        self._ext_cache[key] = (dec, rec)
+        return self._ext_cache[key]
+
+    def _xnn(self, d: int):
+        """x^(view_size/2) on even / odd leaves of view(d)."""
+        if d in self._xnn_cache:
+            return self._xnn_cache[d]
+        sz = self.n >> (d + 1)
+        vals = fr.pow_const(self.leaves(d), sz)
+        self._xnn_cache[d] = (vals[:, 0::2], vals[:, 1::2])
+        return self._xnn_cache[d]
+
+    def z_coeffs(self, d: int) -> jnp.ndarray:
+        """Vanishing-poly coefficients of view(d) leaves: (20, n_d + 1)."""
+        if d not in self._zc_cache:
+            self._zc_cache[d] = vanishing_poly_coeffs(self.leaves(d))
+        return self._zc_cache[d]
+
+    def _z0_inv_odd(self, d: int) -> jnp.ndarray:
+        """1 / Z_{view(d+1)} evaluated at the odd leaves of view(d)."""
+        if d in self._z0odd_cache:
+            return self._z0odd_cache[d]
+        n = self.n >> d
+        zc = self.z_coeffs(d + 1)  # (20, n/2 + 1)
+        pad = jnp.zeros((fr.NLIMB, n - zc.shape[-1]), dtype=jnp.int32)
+        ev = self.enter(jnp.concatenate([zc, pad], axis=-1), d)
+        self._z0odd_cache[d] = fr.batch_inverse(ev[:, 1::2], axis=0)
+        return self._z0odd_cache[d]
+
+    def vanish_subdomain(self, d: int = 0) -> jnp.ndarray:
+        """Evals of Z_{view(d+1)-leaves} on ALL view(d) leaves (zeros on the
+        even moiety) - the reference's `vanish(S0)` use
+        (reference: src/ec_fft.rs:241-282)."""
+        n = self.n >> d
+        zc = self.z_coeffs(d + 1)
+        pad = jnp.zeros((fr.NLIMB, n - zc.shape[-1]), dtype=jnp.int32)
+        return self.enter(jnp.concatenate([zc, pad], axis=-1), d)
+
+    # -- core transforms ----------------------------------------------------
+    #
+    # Public entry points are jit-compiled per (op, view, moiety, shape):
+    # the per-level constants are closed over as compile-time constants and
+    # the whole level-synchronous pass fuses into one XLA program.
+
+    def _jitted(self, key, builder):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(builder)
+        return self._jit_cache[key]
+
+    def extend(self, evals: jnp.ndarray, moiety: str = "S1", d: int = 0):
+        self._extend_consts(d, moiety)  # materialize eagerly before trace
+        fn = self._jitted(
+            ("extend", moiety, d, evals.shape),
+            lambda ev: self._extend_impl(ev, moiety, d),
+        )
+        return fn(evals)
+
+    def enter(self, coeffs: jnp.ndarray, d: int = 0) -> jnp.ndarray:
+        n = coeffs.shape[-1]
+        for k in range(_log2(n)):
+            self._extend_consts(d + k, "S1")
+            self._xnn(d + k)
+        fn = self._jitted(
+            ("enter", d, coeffs.shape), lambda c: self._enter_impl(c, d)
+        )
+        return fn(coeffs)
+
+    def exit(self, evals: jnp.ndarray, d: int = 0) -> jnp.ndarray:
+        n = evals.shape[-1]
+        for k in range(_log2(n)):
+            self._extend_consts(d + k, "S1")
+            self._extend_consts(d + k, "S0")
+            self._z0_inv_odd(d + k)
+            self.z_coeffs(d + k + 1)
+        fn = self._jitted(
+            ("exit", d, evals.shape), lambda ev: self._exit_impl(ev, d)
+        )
+        return fn(evals)
+
+    def _extend_impl(self, evals: jnp.ndarray, moiety: str, d: int):
+        """Evals of P (deg < m) on one moiety of view(d) -> the other moiety.
+
+        evals: (20, *batch, m) with m = n/2^(d+1).
+        (reference: FFTree::extend, used at src/proving.rs:410-422)
+        """
+        m = evals.shape[-1]
+        assert m == self.n >> (d + 1), (m, self.n, d)
+        dec, rec = self._extend_consts(d, moiety)
+        K = _log2(m)
+        state = evals[..., None, :]  # (20, *B, V=1, s=m)
+        for k in range(K):
+            half = state.shape[-1] // 2
+            d00, d01, d10, d11 = (_bcast(c, state.ndim) for c in dec[k])
+            E0, E1 = state[..., :half], state[..., half:]
+            U0 = fr.add(fr.mul(d00, E0), fr.mul(d01, E1))
+            U1 = fr.add(fr.mul(d10, E0), fr.mul(d11, E1))
+            st = jnp.stack([U0, U1], axis=-2)  # (..., V, 2, half)
+            state = st.reshape(*st.shape[:-3], -1, half)
+        for k in reversed(range(K)):
+            half = state.shape[-1]
+            r0, r0x, r1, r1x = (_bcast(c, state.ndim) for c in rec[k])
+            st = state.reshape(*state.shape[:-2], -1, 2, half)
+            U0, U1 = st[..., 0, :], st[..., 1, :]
+            P0 = fr.add(fr.mul(r0, U0), fr.mul(r0x, U1))
+            P1 = fr.add(fr.mul(r1, U0), fr.mul(r1x, U1))
+            state = jnp.concatenate([P0, P1], axis=-1)
+        return state[..., 0, :]
+
+    def _enter_impl(self, coeffs: jnp.ndarray, d: int = 0) -> jnp.ndarray:
+        """Coefficients (deg < n_d) -> evals on all view(d) leaves.
+
+        (reference: FFTree::enter, used for barycentric weights and
+        vanishing evaluations, src/ec_fft.rs:284-335, 407-419)
+        """
+        n = coeffs.shape[-1]
+        assert n == self.n >> d
+        K = _log2(n)
+        state = coeffs[..., :, None]  # (20, *B, V=n, s=1): constants
+        for k in reversed(range(K)):
+            sz = n >> (k + 1)  # current subvector length
+            u = state[..., 0::2, :]
+            v = state[..., 1::2, :]
+            u_ext = self.extend(u, "S1", d + k)
+            v_ext = self.extend(v, "S1", d + k)
+            xe, xo = self._xnn(d + k)
+            xe = _bcast(xe, state.ndim)
+            xo = _bcast(xo, state.ndim)
+            even = fr.add(u, fr.mul(xe, v))
+            odd = fr.add(u_ext, fr.mul(xo, v_ext))
+            st = jnp.stack([even, odd], axis=-1)  # (..., V, sz, 2)
+            state = st.reshape(*st.shape[:-3], st.shape[-3], 2 * sz)
+        return state[..., 0, :]
+
+    def _exit_impl(self, evals: jnp.ndarray, d: int = 0) -> jnp.ndarray:
+        """Evals on view(d) leaves -> coefficients (interpolation).
+
+        Uses P = A + Z0 * B where A interpolates the even moiety and B is
+        recovered on the odd moiety via the precomputed 1/Z0 values - the
+        role of the reference FFTree's z0_inv_s1/z1_inv_s0 fields
+        (reference: src/srs.rs:92-99 field list).
+        (reference: FFTree::exit, used by compute_vanishing_polynomial,
+        src/ec_fft.rs:241-282)
+        """
+        n = evals.shape[-1]
+        assert n == self.n >> d
+        K = _log2(n)
+        state = evals[..., None, :]  # (20, *B, V=1, s=n)
+        for k in range(K):
+            y0 = state[..., 0::2]
+            y1 = state[..., 1::2]
+            a_odd = self.extend(y0, "S1", d + k)
+            z0inv = _bcast(self._z0_inv_odd(d + k), state.ndim)
+            b_odd = fr.mul(fr.sub(y1, a_odd), z0inv)
+            b_even = self.extend(b_odd, "S0", d + k)
+            st = jnp.stack([y0, b_even], axis=-2)  # (..., V, 2, s/2)
+            state = st.reshape(*st.shape[:-3], -1, st.shape[-1])
+        # bottom: coefficients of constants are the values themselves
+        for k in reversed(range(K)):
+            sz = n >> (k + 1)
+            st = state.reshape(*state.shape[:-2], -1, 2, sz)
+            A, B = st[..., 0, :], st[..., 1, :]
+            z0t = _bcast(self._z0_tail(d + k + 1), st.ndim - 1)
+            prod = polymul(z0t, B)  # (..., V, 2*sz - 1)
+            out = jnp.concatenate([A, B], axis=-1)
+            out = out.at[..., : 2 * sz - 1].set(
+                fr.add(out[..., : 2 * sz - 1], prod)
+            )
+            state = out
+        return state[..., 0, :]
+
+    def _z0_tail(self, d: int) -> jnp.ndarray:
+        """Z_{view(d)} minus its monic top term: (20, n_d) coefficients."""
+        zc = self.z_coeffs(d)
+        return zc[..., :-1]

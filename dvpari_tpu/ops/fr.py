@@ -197,7 +197,8 @@ def square(a: jnp.ndarray) -> jnp.ndarray:
 
 def mul_const(a: jnp.ndarray, c: int) -> jnp.ndarray:
     """Multiply by a compile-time integer constant."""
-    return mul(a, broadcast_scalar(from_int(c), ()))
+    b = jnp.asarray(from_int(c)).reshape((NLIMB,) + (1,) * (a.ndim - 1))
+    return mul(a, b)
 
 
 def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

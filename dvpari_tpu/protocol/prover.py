@@ -1,0 +1,186 @@
+"""Prover: precompute preparation and proof generation.
+
+Mirrors the reference prover pipeline (reference: src/proving.rs):
+  prover_prepares_precomputes (:225-325) and Proof::prove (:426-688),
+re-architected as batched device stages:
+
+  sparse mat-vec (gather+segment-sum)  ->  MSM(w, g_m)
+  extend a,b,c,i to D' (ECFFT)         ->  quotient q = (ab - i - c)/Z
+  MSM(q, g_q), commit_p = both         ->  Fiat-Shamir alpha
+  barycentric a0,b0,i0 at alpha        ->  k-scalar vectors
+  MSM([k_a||k_b||k_r], g_k)            ->  Proof (944 bits)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from dvpari_tpu.ops import fr, xsk233
+from dvpari_tpu.fftree import precompute as pre
+from dvpari_tpu.r1cs import gnark
+from dvpari_tpu.storage import artifacts as art
+from dvpari_tpu.protocol.transcript import Transcript
+from dvpari_tpu.protocol.proof import Proof
+from dvpari_tpu.protocol.srs import _load_or_build_tree
+from dvpari_tpu.utils import xsk233_host as host
+from dvpari_tpu.utils.timing import phase
+
+
+def prover_prepares_precomputes(cache_dir: str, validate_precompute: bool = True):
+    """Ensure tree2n / bar_wts / z_vals2inv exist; z_poly is a required
+    input (reference: prover_prepares_precomputes, src/proving.rs:225-325)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    z_poly = art.read_fr_vec(os.path.join(cache_dir, art.Z_POLY))
+    m = z_poly.shape[-1] - 1
+    n_log = m.bit_length() - 1
+
+    tree2n = _load_or_build_tree(cache_dir, art.TREE_2N, 2 * m, False, n_log + 1)
+
+    bpath = os.path.join(cache_dir, art.BAR_WTS)
+    if not os.path.exists(bpath):
+        bw = pre.compute_barycentric_weights(tree2n, z_poly, 1)
+        art.write_fr_vec(bpath, bw)
+    zpath = os.path.join(cache_dir, art.Z_VALS2_INV)
+    if not os.path.exists(zpath):
+        # evaluate Z_D over D' (odd moiety of tree2n): full-leaf eval, odd half
+        full = _eval_z_all_leaves(tree2n, z_poly)
+        vals = fr.batch_inverse(full[:, 1::2], axis=0)
+        art.write_fr_vec(zpath, vals)
+    if validate_precompute:
+        evs = pre.evaluate_vanishing_poly_at_domain(z_poly, tree2n, 1)
+        assert bool(jnp.all(fr.is_zero(evs))), "vanishing poly invalid over D"
+
+
+def _eval_z_all_leaves(tree2n, z_poly):
+    """Evaluate the (m+1)-coeff Z over all 2m leaves via enter + Horner tail."""
+    leaves = tree2n.leaves(0)
+    n = leaves.shape[-1]
+    pad = jnp.zeros((fr.NLIMB, n - z_poly.shape[-1] + 1), dtype=jnp.int32)
+    tail = tree2n.enter(jnp.concatenate([z_poly[:, 1:], pad], axis=-1), 0)
+    z0 = z_poly[..., 0]
+    return fr.add(fr.mul(tail, leaves), fr.broadcast_scalar(z0, leaves.shape[1:]))
+
+
+def _monomial_evals_over_domain(public_inputs, dom: jnp.ndarray) -> jnp.ndarray:
+    """i(d) = sum_j x_j d^j for every domain element (device)."""
+    m = dom.shape[-1]
+    acc = fr.zeros((m,))
+    power = fr.ones((m,))
+    for j, x in enumerate(public_inputs):
+        xd = fr.broadcast_scalar(fr.from_int(int(x)), (m,))
+        acc = fr.add(acc, fr.mul(xd, power))
+        if j + 1 < len(public_inputs):
+            power = fr.mul(power, dom)
+    return acc
+
+
+def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]") -> Proof:
+    """(reference: Proof::prove, src/proving.rs:426-688)"""
+    with phase("prove.load_tree"):
+        z_poly = art.read_fr_vec(os.path.join(cache_dir, art.Z_POLY))
+        m = z_poly.shape[-1] - 1
+        n_log = m.bit_length() - 1
+        tree2n = _load_or_build_tree(cache_dir, art.TREE_2N, 2 * m, False, n_log + 1)
+        dom, dom2 = tree2n.both_domains()
+        dom_ints = fr.to_int(dom)
+
+    with phase("prove.r1cs"):
+        with open(os.path.join(cache_dir, art.R1CS_CONSTRAINTS_FILE), "rb") as f:
+            inst = gnark.instance_from_dump(f.read(), len(public_inputs))
+        assert inst.num_constraints == m
+        gnark.add_vandermonde_matrix(inst, dom_ints)
+
+    assignment = [1] + [int(x) % fr.P for x in public_inputs] + [
+        int(x) % fr.P for x in private_inputs
+    ]
+    w_dev = jnp.asarray(fr.from_int(assignment))
+
+    with phase("prove.matvec"):
+        coeffs_dev = gnark.coeffs_device(inst)
+        a_vals = gnark.eval_matrix(inst.l, coeffs_dev, w_dev)
+        b_vals = gnark.eval_matrix(inst.r, coeffs_dev, w_dev)
+        c_vals = gnark.eval_matrix(inst.o, coeffs_dev, w_dev)
+        i_vals = _monomial_evals_over_domain(public_inputs, dom)
+        # witness satisfaction: a*b == c + i on D (reference asserts per row,
+        # src/proving.rs:388-395)
+        ok = fr.is_zero(fr.sub(fr.mul(a_vals, b_vals), fr.add(c_vals, i_vals)))
+        assert bool(jnp.all(ok)), "witness does not satisfy the SR1CS relation"
+
+    with phase("prove.msm_gm", n=len(assignment)):
+        g_m = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_M))
+        assert g_m.shape[-1] == len(assignment), (g_m.shape, len(assignment))
+        msm_gm = xsk233.msm(xsk233.fr_limbs_to_bits(w_dev), g_m)
+
+    transcript = Transcript()
+    transcript.circuit_info_hash(inst)
+    transcript.public_input_hash(public_inputs)
+
+    with phase("prove.extend"):
+        a2 = tree2n.extend(a_vals, "S1", 0)
+        b2 = tree2n.extend(b_vals, "S1", 0)
+        c2 = tree2n.extend(c_vals, "S1", 0)
+        i2 = tree2n.extend(i_vals, "S1", 0)
+
+    with phase("prove.quotient"):
+        r2 = fr.sub(fr.mul(a2, b2), i2)
+        z2inv = art.read_fr_vec(os.path.join(cache_dir, art.Z_VALS2_INV))
+        q2 = fr.mul(fr.sub(r2, c2), z2inv)
+
+    with phase("prove.msm_gq", n=m):
+        g_q = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_Q))
+        msm_q = xsk233.msm(xsk233.fr_limbs_to_bits(q2), g_q)
+
+    commit_p = xsk233.add(msm_q, msm_gm)
+    commit_p_bytes = host.encode(xsk233.to_affine_int(commit_p))
+    transcript.witness_commitment_hash([commit_p_bytes])
+    transcript.srs_hash()
+
+    with phase("prove.challenge"):
+        alpha = transcript.output()
+        dom2_ints = fr.to_int(dom2)
+        assert alpha not in dom_ints and alpha not in dom2_ints, (
+            "challenge in domain (prob ~2^-200)"
+        )
+        alpha_dev = jnp.asarray(fr.from_int(alpha))
+
+    with phase("prove.evaluate_at_alpha"):
+        bar_wts = art.read_fr_vec(os.path.join(cache_dir, art.BAR_WTS))
+        a0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, a_vals, alpha_dev)
+        b0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, b_vals, alpha_dev)
+        i0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, i_vals, alpha_dev)
+        r0 = fr.sub(fr.mul(a0, b0), i0)
+
+    with phase("prove.k_scalars"):
+        denom_inv = fr.batch_inverse(
+            fr.sub(dom, fr.broadcast_scalar(alpha_dev, (m,))), axis=0
+        )
+        denom_inv2 = fr.batch_inverse(
+            fr.sub(dom2, fr.broadcast_scalar(alpha_dev, (m,))), axis=0
+        )
+        bc = lambda v: fr.broadcast_scalar(v, (m,))
+        k_a = fr.mul(fr.sub(a_vals, bc(a0)), denom_inv)
+        k_b = fr.mul(fr.sub(b_vals, bc(b0)), denom_inv)
+        r_vals = fr.sub(fr.mul(a_vals, b_vals), i_vals)
+        kr1 = fr.mul(fr.sub(r_vals, bc(r0)), denom_inv)
+        kr2 = fr.mul(fr.sub(r2, bc(r0)), denom_inv2)
+        # interleave [kr(D_i), kr(D'_i)] (reference: src/proving.rs:644-654)
+        k_r = jnp.stack([kr1, kr2], axis=-1).reshape(fr.NLIMB, 2 * m)
+
+    with phase("prove.msm_gk", n=4 * m):
+        srs_g_k = [
+            art.read_point_vec(os.path.join(cache_dir, name))
+            for name in (art.SRS_G_K_0, art.SRS_G_K_1, art.SRS_G_K_2)
+        ]
+        g_k_all = jnp.concatenate(srs_g_k, axis=-1)
+        s_k_all = jnp.concatenate([k_a, k_b, k_r], axis=-1)
+        kzg_k = xsk233.msm(xsk233.fr_limbs_to_bits(s_k_all), g_k_all)
+
+    return Proof(
+        commit_p=commit_p_bytes,
+        kzg_k=host.encode(xsk233.to_affine_int(kzg_k)),
+        a0=fr.to_int(a0),
+        b0=fr.to_int(b0),
+    )

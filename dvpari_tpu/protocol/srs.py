@@ -1,0 +1,251 @@
+"""Setup (SRS generation) and O(1) designated-verifier verification.
+
+Mirrors the reference's setup/verify layer (reference: src/srs.rs):
+
+  Setup (verifier-side, holds trapdoor tau/delta/epsilon):
+    g_m[j]    = eps * m_j(tau, delta) * G      (one per wire)
+    g_q[i]    = eps * Z_D(tau) delta^2 L'_i(tau) * G
+    g_k[0][i] = L_i(tau) * G
+    g_k[1][i] = L_i(tau) delta * G
+    g_k[2][i] = L^U_i(tau) delta^2 * G         (unified 2m domain)
+
+  Verify: alpha from transcript; i0 = i(alpha); r0 = a0 b0 - i0;
+    u0 = (a0 + delta b0 + delta^2 r0) eps; v0 = (tau - alpha) eps;
+    accept iff v0*K + u0*G == P and all decodings valid.
+
+The TPU re-architecture: the ~5m sequential generator scalar-muls of the
+reference (src/srs.rs:131-159, its hottest loop) become batched
+fixed-base scalar-mul lanes, and accumulate_m_values' sequential sparse
+accumulation (src/srs.rs:53-84) becomes gather + segment-sum by wire.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dvpari_tpu.ops import fr, xsk233
+from dvpari_tpu.fftree.tree import FFTree
+from dvpari_tpu.fftree import precompute as pre
+from dvpari_tpu.r1cs import gnark
+from dvpari_tpu.storage import artifacts as art
+from dvpari_tpu.protocol.transcript import Transcript
+from dvpari_tpu.protocol.proof import Proof
+from dvpari_tpu.utils import xsk233_host as host
+from dvpari_tpu.utils.blake3 import blake3_digest
+from dvpari_tpu.utils.timing import phase
+
+
+@dataclass(frozen=True)
+class Trapdoor:
+    """(reference: Trapdoor, src/srs.rs:42-51)"""
+
+    tau: int
+    delta: int
+    epsilon: int
+
+    @classmethod
+    def from_seed(cls, seed: bytes) -> "Trapdoor":
+        """Deterministic trapdoor derivation (blake3-XOF-style counter).
+
+        The reference samples via ChaCha20Rng + ark UniformRand
+        (src/dvsnark_test.rs:149-154); the sampling scheme is not part of
+        the protocol, only non-zeroness is (src/srs.rs:199-201).
+        """
+        vals = []
+        ctr = 0
+        while len(vals) < 3:
+            v = int.from_bytes(
+                blake3_digest(seed + ctr.to_bytes(4, "little")), "little"
+            ) >> 24  # 232 bits
+            ctr += 1
+            if 0 < v < fr.P:
+                vals.append(v)
+        return cls(*vals)
+
+
+def _scalar_bits(values: jnp.ndarray) -> jnp.ndarray:
+    return xsk233.fr_limbs_to_bits(values)
+
+
+def _gen_mul_batch(scalars: jnp.ndarray) -> jnp.ndarray:
+    """[s_i] G for a limb batch (20, n) -> points (3, 8, n)."""
+    return xsk233.scalar_mul_gen(_scalar_bits(scalars))
+
+
+def accumulate_m_values(
+    inst: gnark.R1CSInstance, l_tau: jnp.ndarray, delta: int
+) -> jnp.ndarray:
+    """m_j = sum_i L_i(tau) (A_ij + delta B_ij + delta^2 C_ij) per wire j.
+
+    (reference: accumulate_m_values, src/srs.rs:53-84 - sequential there,
+    segment-sum by wire here.)
+    """
+    n_wires = (
+        max(
+            int(inst.l.wire_ids.max(initial=0)),
+            int(inst.r.wire_ids.max(initial=0)),
+            int(inst.o.wire_ids.max(initial=0)),
+        )
+        + 1
+    )
+    coeffs_dev = gnark.coeffs_device(inst)
+    d = int(delta) % fr.P
+    scales = [1, d, d * d % fr.P]
+    total = fr.zeros((n_wires,))
+    for mat, sc in zip((inst.l, inst.r, inst.o), scales):
+        if len(mat.wire_ids) == 0:
+            continue
+        rows = np.repeat(
+            np.arange(len(mat.indptr) - 1, dtype=np.int32),
+            np.diff(mat.indptr).astype(np.int64),
+        )
+        lt = fr.mul_const(l_tau, sc)  # (20, m)
+        terms = fr.mul(coeffs_dev[:, jnp.asarray(mat.coeff_ids)], lt[:, jnp.asarray(rows)])
+        sums = jax.ops.segment_sum(
+            terms.T.astype(jnp.int32), jnp.asarray(mat.wire_ids), num_segments=n_wires
+        ).T
+        total = fr.add(total, fr.weak_normalize(sums))
+    return total
+
+
+def _load_or_build_tree(cache_dir, name, domain_len, shift, base_log_n):
+    path = os.path.join(cache_dir, name)
+    if art.fftree_exists(path):
+        return art.read_fftree(path)
+    tree = FFTree.build(domain_len, shift, base_log_n)
+    art.write_fftree(path, tree)
+    return tree
+
+
+def verifier_runs_setup(
+    trapdoor: Trapdoor,
+    cache_dir: str,
+    num_public_inputs: int,
+    is_fresh_setup: bool = True,
+    validate_precompute: bool = True,
+):
+    """Full setup pipeline (reference: SRS::verifier_runs_setup,
+    src/srs.rs:177-361).  Returns the SRS point vectors (also cached)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    assert trapdoor.tau % fr.P and trapdoor.delta % fr.P and trapdoor.epsilon % fr.P
+
+    with open(os.path.join(cache_dir, art.R1CS_CONSTRAINTS_FILE), "rb") as f:
+        inst = gnark.instance_from_dump(f.read(), num_public_inputs)
+    m = inst.num_constraints
+    n_log = m.bit_length() - 1
+    tau_dev = jnp.asarray(fr.from_int(trapdoor.tau))
+
+    def domain_precomputes(tree_name, zf, bf, shift):
+        with phase("setup.tree", tree=tree_name):
+            tree2 = _load_or_build_tree(cache_dir, tree_name, 2 * m, shift, n_log + 1)
+        zpath = os.path.join(cache_dir, zf)
+        with phase("setup.vanishing", artifact=zf):
+            if os.path.exists(zpath):
+                z = art.read_fr_vec(zpath)
+            else:
+                z = pre.compute_vanishing_polynomial(tree2)
+                art.write_fr_vec(zpath, z)
+        if validate_precompute:
+            evs = pre.evaluate_vanishing_poly_at_domain(z, tree2, 1)
+            assert bool(jnp.all(fr.is_zero(evs))), "vanishing poly invalid"
+        bpath = os.path.join(cache_dir, bf)
+        with phase("setup.barycentric", artifact=bf):
+            if os.path.exists(bpath):
+                bw = art.read_fr_vec(bpath)
+            else:
+                bw = pre.compute_barycentric_weights(tree2, z, 1)
+                art.write_fr_vec(bpath, bw)
+        with phase("setup.lagrange", tree=tree_name):
+            ltau = pre.compute_lagrange_basis_at_tau(tree2, z, tau_dev, bw, 1)
+        return tree2, z, bw, ltau
+
+    tree2n, z_poly, _, l_tau = domain_precomputes(
+        art.TREE_2N, art.Z_POLY, art.BAR_WTS, False
+    )
+    tree2nd, z_polyd, _, l_taud = domain_precomputes(
+        art.TREE_2ND, art.Z_POLYD, art.BAR_WTSD, True
+    )
+
+    def z_inv(fname, z_coeffs, tree, d):
+        path = os.path.join(cache_dir, fname)
+        if os.path.exists(path):
+            return art.read_fr_vec(path)
+        vals = pre.evaluate_vanishing_poly_at_domain(z_coeffs, tree, d)
+        vals = fr.batch_inverse(vals, axis=0)
+        art.write_fr_vec(path, vals)
+        return vals
+
+    with phase("setup.z_inv"):
+        z_vals2_inv = z_inv(art.Z_VALS2_INV, z_poly, tree2nd, 1)  # 1/Z_D on D'
+        z_vals2d_inv = z_inv(art.Z_VALS2D_INV, z_polyd, tree2n, 1)  # 1/Z_D' on D
+
+    with phase("setup.vandermonde"):
+        dom_elems = fr.to_int(tree2n.leaves(1))
+        gnark.add_vandermonde_matrix(inst, dom_elems)
+
+    with phase("setup.lagrange_unified"):
+        l_taul = pre.lagrange_basis_unified(
+            tau_dev, m, l_tau, l_taud, z_poly, z_polyd, z_vals2_inv, z_vals2d_inv
+        )
+
+    # --- SRS matrices (reference: compute_srs_matrices, src/srs.rs:112-167)
+    eps = trapdoor.epsilon % fr.P
+    delta = trapdoor.delta % fr.P
+    delta2 = delta * delta % fr.P
+
+    with phase("setup.g_m"):
+        m_vals = accumulate_m_values(inst, l_tau, delta)
+        g_m = _gen_mul_batch(fr.mul_const(m_vals, eps))
+        art.write_point_vec(os.path.join(cache_dir, art.SRS_G_M), g_m)
+
+    with phase("setup.g_q"):
+        z_tau = fr.horner_eval(z_poly, tau_dev)
+        z_tau_i = fr.to_int(z_tau)
+        scale = z_tau_i * delta2 % fr.P * eps % fr.P
+        g_q = _gen_mul_batch(fr.mul_const(l_taud, scale))
+        art.write_point_vec(os.path.join(cache_dir, art.SRS_G_Q), g_q)
+
+    with phase("setup.g_k"):
+        g_k = []
+        for j, (l_slice, name) in enumerate(
+            [(l_tau, art.SRS_G_K_0), (l_tau, art.SRS_G_K_1), (l_taul, art.SRS_G_K_2)]
+        ):
+            dp = [1, delta, delta2][j]
+            gk = _gen_mul_batch(fr.mul_const(l_slice, dp))
+            art.write_point_vec(os.path.join(cache_dir, name), gk)
+            g_k.append(gk)
+
+    return {"g_m": g_m, "g_q": g_q, "g_k": g_k}
+
+
+def verify(trapdoor: Trapdoor, public_inputs: "list[int]", proof: Proof) -> bool:
+    """O(1) verification (reference: SRS::verify, src/srs.rs:374-428)."""
+    commit_p, p_valid = host.decode(proof.commit_p)
+    kzg_k, k_valid = host.decode(proof.kzg_k)
+
+    t = Transcript()
+    t.srs_hash()
+    t.circuit_info_hash()
+    t.public_input_hash(public_inputs)
+    t.witness_commitment_hash([proof.commit_p])
+    alpha = t.output()
+
+    i0 = gnark.evaluate_monomial_basis_poly(public_inputs, alpha)
+    r0 = (proof.a0 * proof.b0 - i0) % fr.P
+    delta = trapdoor.delta % fr.P
+    u0 = (
+        (proof.a0 + delta * proof.b0 + delta * delta % fr.P * r0)
+        % fr.P
+        * trapdoor.epsilon
+        % fr.P
+    )
+    v0 = (trapdoor.tau - alpha) % fr.P * trapdoor.epsilon % fr.P
+
+    lhs = host.add(host.smul(v0, kzg_k), host.smul(u0, (host.GX, host.GY)))
+    valid_inputs = p_valid and k_valid and proof.a0_valid and proof.b0_valid
+    return bool(lhs == commit_p) and valid_inputs

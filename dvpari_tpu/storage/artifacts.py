@@ -1,0 +1,163 @@
+"""Artifact cache: names, formats and lifecycle.
+
+Mirrors the reference's artifact registry and on-disk vector formats
+(reference: src/artifacts.rs for names/lifecycle; src/io_utils.rs for
+the u64-LE length prefix + fixed-width record layout):
+
+* Fr vectors:  u64 LE count, then 29-byte little-endian canonical
+  elements (ark serialize_uncompressed width, io_utils.rs:127).
+* Point vectors: u64 LE count, then 30-byte compressed points
+  (io_utils.rs:191).  A `.fast.npz` sidecar caches the decoded
+  projective words so bulk reads skip per-point decompression - the
+  interchange file remains the source of truth.
+* FFTrees: an .npz of layer x-coordinate limb arrays + isogeny roots
+  (replaces the reference's FFTR container, src/tree_io.rs:3-48; our
+  tree is reconstructible from layers+roots, so the twelve precompute
+  sections become derived caches).
+
+The artifact cache IS the checkpoint/resume system, exactly as in the
+reference (SURVEY.md section 5): every expensive object is written once
+and skipped if present.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+
+from dvpari_tpu.ops import fr, gf2, xsk233
+from dvpari_tpu.fftree.tree import FFTree
+
+# --- artifact names (reference: src/artifacts.rs:17-83) -------------------
+SRS_G_Q = "g_q"
+SRS_G_M = "g_m"
+SRS_G_K_0 = "g_k_0"
+SRS_G_K_1 = "g_k_1"
+SRS_G_K_2 = "g_k_2"
+TREE_2N = "tree2n"
+TREE_2ND = "tree2nd"
+TREE_N = "treen"
+TREE_ND = "treend"
+Z_POLY = "z_poly"
+Z_POLYD = "z_polyd"
+BAR_WTS = "bar_wts"
+BAR_WTSD = "bar_wtsd"
+Z_VALS2_INV = "z_vals2inv"
+Z_VALS2D_INV = "z_vals2dinv"
+R1CS_CONSTRAINTS_FILE = "r1cs_to_dvsnark"
+R1CS_WITNESS_FILE = "witness_to_dvsnark"
+
+FR_RECORD = 29  # ceil(232/8)
+PT_RECORD = 30
+
+
+# --- Fr vectors ------------------------------------------------------------
+
+def write_fr_vec(path: str, values: jnp.ndarray) -> None:
+    """values: device limbs (20, n) -> u64 count + 29B LE records."""
+    ints = fr.to_int(values)
+    if isinstance(ints, int):
+        ints = [ints]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(ints)))
+        f.write(b"".join(int(v).to_bytes(FR_RECORD, "little") for v in ints))
+
+
+def read_fr_vec(path: str) -> jnp.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    (n,) = struct.unpack_from("<Q", data, 0)
+    raw = np.frombuffer(data, dtype=np.uint8, count=n * FR_RECORD, offset=8)
+    raw = raw.reshape(n, FR_RECORD).astype(np.uint64)
+    # assemble 12-bit limbs from LE bytes without python-int round trips
+    bits = np.unpackbits(raw.astype(np.uint8), axis=1, bitorder="little")
+    want = fr.NLIMB * fr.LIMB_BITS  # 240 > 232 stored bits: zero-pad the top
+    bits = np.pad(bits, [(0, 0), (0, max(0, want - bits.shape[1]))])[:, :want]
+    limbs = np.zeros((fr.NLIMB, n), dtype=np.int32)
+    for i in range(fr.NLIMB):
+        chunk = bits[:, i * fr.LIMB_BITS : (i + 1) * fr.LIMB_BITS]
+        weights = (1 << np.arange(fr.LIMB_BITS)).astype(np.int32)
+        limbs[i] = chunk.astype(np.int32) @ weights
+    return jnp.asarray(limbs)
+
+
+# --- point vectors ---------------------------------------------------------
+
+def write_point_vec(path: str, points: jnp.ndarray) -> None:
+    """points: (3, 8, n) projective batch -> 30B compressed records +
+    .fast.npz sidecar with the affine word arrays."""
+    from dvpari_tpu.utils import xsk233_host as host
+
+    affine = xsk233.to_affine_int(points)
+    if isinstance(affine, tuple) or affine is None:
+        affine = [affine]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(affine)))
+        for p in affine:
+            f.write(host.encode(p))
+    _write_point_sidecar(path, affine)
+
+
+def _write_point_sidecar(path: str, affine: list) -> None:
+    n = len(affine)
+    X = np.zeros((gf2.NWORD, n), dtype=np.uint32)
+    Y = np.zeros((gf2.NWORD, n), dtype=np.uint32)
+    Z = np.zeros((gf2.NWORD, n), dtype=np.uint32)
+    for j, p in enumerate(affine):
+        if p is not None:
+            X[:, j] = gf2.from_int(p[0])
+            Y[:, j] = gf2.from_int(p[1])
+            Z[0, j] = 1
+    np.savez(path + ".fast.npz", X=X, Y=Y, Z=Z)
+
+
+def read_point_vec(path: str, validate: bool = False) -> jnp.ndarray:
+    """Returns (3, 8, n) projective batch.  Prefers the sidecar; falls
+    back to decoding the 30-byte records (with validity checks, mirroring
+    read_point_vec_from_file's assert, reference: src/io_utils.rs:217-226)."""
+    fast = path + ".fast.npz"
+    if os.path.exists(fast) and not validate:
+        z = np.load(fast)
+        return jnp.asarray(np.stack([z["X"], z["Y"], z["Z"]], axis=0))
+    from dvpari_tpu.utils import xsk233_host as host
+
+    with open(path, "rb") as f:
+        data = f.read()
+    (n,) = struct.unpack_from("<Q", data, 0)
+    pts = []
+    for j in range(n):
+        rec = data[8 + j * PT_RECORD : 8 + (j + 1) * PT_RECORD]
+        p, ok = host.decode(rec)
+        assert ok, f"invalid point record {j} in {path}"
+        pts.append(p)
+    return xsk233.from_affine_int(pts)
+
+
+# --- FFTrees ---------------------------------------------------------------
+
+def write_fftree(path: str, tree: FFTree) -> None:
+    arrs = {f"layer{i}": np.asarray(t) for i, t in enumerate(tree.layers)}
+    arrs["x0s"] = np.array(
+        [np.frombuffer(int(x).to_bytes(32, "little"), dtype=np.uint8) for x in tree.x0s],
+        dtype=np.uint8,
+    )
+    arrs["meta"] = np.array(
+        [tree.n, int(tree.shift_by_one), tree.base_log_n], dtype=np.int64
+    )
+    np.savez(path + ".npz", **arrs)
+
+
+def read_fftree(path: str) -> FFTree:
+    z = np.load(path + ".npz")
+    n, shift, base_log_n = (int(v) for v in z["meta"])
+    nlayers = n.bit_length()  # log2(n) + 1
+    layers = [jnp.asarray(z[f"layer{i}"]) for i in range(nlayers)]
+    x0s = [int.from_bytes(bytes(row), "little") for row in z["x0s"]]
+    return FFTree(layers, x0s, bool(shift), base_log_n)
+
+
+def fftree_exists(path: str) -> bool:
+    return os.path.exists(path + ".npz")

@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon TPU plugin force-overrides jax_platforms at import time, so the
+# env var alone is not enough - pin the config explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: most suite time is XLA CPU compiles of the
 # big crypto graphs; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache")

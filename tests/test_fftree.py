@@ -1,0 +1,113 @@
+"""FFTree (ECFFT engine) vs brute-force polynomial oracles.
+
+Mirrors the reference's ec_fft property-test strategy: fast path vs
+O(N^2) oracle at small N (reference: src/ec_fft.rs:628-1091,
+test_compare_with_bruteforce / test_vanishing_poly /
+test_interpolate_and_extend_match / test_subtree).
+"""
+
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from dvpari_tpu.ops import fr
+from dvpari_tpu.fftree.tree import FFTree
+
+P = fr.P
+N = 8  # domain |D| = |D'| = 8, tree2n has 16 leaves
+
+
+def horner(cs, x):
+    acc = 0
+    for c in reversed(cs):
+        acc = (acc * x + c) % P
+    return acc
+
+
+@pytest.fixture(scope="module")
+def tree():
+    return FFTree.build(2 * N, False, 4)
+
+
+@pytest.fixture(scope="module")
+def doms(tree):
+    leaves = fr.to_int(tree.layers[0])
+    return leaves, leaves[0::2], leaves[1::2]
+
+
+def test_leaf_structure(tree, doms):
+    leaves, D, Dp = doms
+    assert len(set(leaves)) == 2 * N
+    # subtree view = even leaves (reference: subtree_with_size semantics)
+    assert fr.to_int(tree.leaves(1)) == D
+    td = FFTree.build(2 * N, True, 4)
+    assert fr.to_int(td.leaves(1)) == Dp  # interleaving property
+
+
+def test_extend_both_moieties(tree, doms):
+    _, D, Dp = doms
+    rng = random.Random(21)
+    cs = [rng.randrange(P) for _ in range(N)]
+    evD = jnp.asarray(fr.from_int([horner(cs, x) for x in D]))
+    assert fr.to_int(tree.extend(evD, "S1", 0)) == [horner(cs, x) for x in Dp]
+    evDp = jnp.asarray(fr.from_int([horner(cs, x) for x in Dp]))
+    assert fr.to_int(tree.extend(evDp, "S0", 0)) == [horner(cs, x) for x in D]
+    # subtree view: D-evens -> D-odds
+    cs4 = cs[: N // 2]
+    evE = jnp.asarray(fr.from_int([horner(cs4, x) for x in D[0::2]]))
+    assert fr.to_int(tree.extend(evE, "S1", 1)) == [
+        horner(cs4, x) for x in D[1::2]
+    ]
+
+
+def test_enter_exit_roundtrip(tree, doms):
+    leaves, D, _ = doms
+    rng = random.Random(22)
+    cs2n = [rng.randrange(P) for _ in range(2 * N)]
+    ev = tree.enter(jnp.asarray(fr.from_int(cs2n)), 0)
+    assert fr.to_int(ev) == [horner(cs2n, x) for x in leaves]
+    assert fr.to_int(tree.exit(ev, 0)) == cs2n
+    # depth-1 view
+    cs = cs2n[:N]
+    evd = tree.enter(jnp.asarray(fr.from_int(cs)), 1)
+    assert fr.to_int(evd) == [horner(cs, x) for x in D]
+    assert fr.to_int(tree.exit(evd, 1)) == cs
+
+
+def test_vanishing_poly(tree, doms):
+    # fast vanishing coeffs vs naive product of linear factors
+    # (reference: test_vanishing_poly, src/ec_fft.rs:820-880)
+    _, D, Dp = doms
+    rng = random.Random(23)
+    zc = fr.to_int(tree.z_coeffs(1))
+    assert len(zc) == N + 1 and zc[-1] == 1
+    tau = rng.randrange(P)
+    prod = 1
+    for x in D:
+        prod = prod * (tau - x) % P
+    assert horner(zc, tau) == prod
+    assert all(horner(zc, x) == 0 for x in D)
+    # vanish(): zero on S0, Z_D on S1 (reference: vanish + exit usage)
+    vs = fr.to_int(tree.vanish_subdomain(0))
+    assert all(v == 0 for v in vs[0::2])
+    assert [v for v in vs[1::2]] == [horner(zc, x) for x in Dp]
+
+
+def test_extend_matches_interpolation(tree, doms):
+    # extend == interpolate-then-evaluate
+    # (reference: test_interpolate_and_extend_match, src/ec_fft.rs:883-907)
+    _, D, Dp = doms
+    rng = random.Random(24)
+    evals = [rng.randrange(P) for _ in range(N)]
+    got = fr.to_int(tree.extend(jnp.asarray(fr.from_int(evals)), "S1", 0))
+    # brute-force Lagrange interpolation onto D'
+    for j, xq in enumerate(Dp):
+        acc = 0
+        for i, xi in enumerate(D):
+            li = 1
+            for k, xk in enumerate(D):
+                if k != i:
+                    li = li * (xq - xk) % P * pow(xi - xk, P - 2, P) % P
+            acc = (acc + evals[i] * li) % P
+        assert got[j] == acc
