@@ -196,7 +196,7 @@ class FFTree:
         return self._jit_cache[key]
 
     def extend(self, evals: jnp.ndarray, moiety: str = "S1", d: int = 0):
-        self._extend_consts(d, moiety)  # materialize eagerly before trace
+        self._flat_extend_tables(d, moiety)  # materialize eagerly before trace
         fn = self._jitted(
             ("extend", moiety, d, evals.shape),
             lambda ev: self._extend_impl(ev, moiety, d),
@@ -206,7 +206,7 @@ class FFTree:
     def enter(self, coeffs: jnp.ndarray, d: int = 0) -> jnp.ndarray:
         n = coeffs.shape[-1]
         for k in range(_log2(n)):
-            self._extend_consts(d + k, "S1")
+            self._flat_extend_tables(d + k, "S1")
             self._xnn(d + k)
         fn = self._jitted(
             ("enter", d, coeffs.shape), lambda c: self._enter_impl(c, d)
@@ -216,8 +216,8 @@ class FFTree:
     def exit(self, evals: jnp.ndarray, d: int = 0) -> jnp.ndarray:
         n = evals.shape[-1]
         for k in range(_log2(n)):
-            self._extend_consts(d + k, "S1")
-            self._extend_consts(d + k, "S0")
+            self._flat_extend_tables(d + k, "S1")
+            self._flat_extend_tables(d + k, "S0")
             self._z0_inv_odd(d + k)
             self.z_coeffs(d + k + 1)
         fn = self._jitted(
@@ -225,7 +225,81 @@ class FFTree:
         )
         return fn(evals)
 
+    def _flat_extend_tables(self, d: int, moiety: str):
+        """Stacked per-step tables for the flat extend kernel.
+
+        Key observation: with the level state kept as one flat m-vector,
+        the down-pass solution U0/U1 lands exactly at the source
+        positions of E0/E1, and likewise for the up-pass recombination.
+        Every level is therefore the same positional kernel
+            out[i] = cA[i] * state[i] + cB[i] * state[partner[i]]
+        and the whole transform is a single fori_loop over 2*log2(m)
+        steps - graph size independent of the domain size (the property
+        that makes 2^23-scale domains compilable).
+        """
+        key = ("flat", d, moiety)
+        if key in self._ext_cache:
+            return self._ext_cache[key]
+        m = self.n >> (d + 1)
+        K = _log2(m)
+        dec, rec = self._extend_consts(d, moiety)
+        partner = np.zeros((max(2 * K, 1), m), dtype=np.int32)
+        cA = np.zeros((max(2 * K, 1), fr.NLIMB, m), dtype=np.int32)
+        cB = np.zeros_like(cA)
+
+        def fill(step, k, lo_a, lo_b, hi_a, hi_b):
+            s = m >> k
+            half = s >> 1
+            v = np.arange(m // s).repeat(half)
+            j = np.tile(np.arange(half), m // s)
+            lo = v * s + j
+            hi = lo + half
+            partner[step, lo] = hi
+            partner[step, hi] = lo
+            # per-pair coefficient vectors are shared across the 2^k vectors
+            tile = lambda arr: np.tile(np.asarray(arr), (1, m // s))
+            cA[step, :, lo] = tile(lo_a).T
+            cB[step, :, lo] = tile(lo_b).T
+            cA[step, :, hi] = tile(hi_a).T
+            cB[step, :, hi] = tile(hi_b).T
+
+        for k in range(K):  # down: [U0; U1] = M^-1 [E0; E1]
+            d00, d01, d10, d11 = (np.asarray(x) for x in dec[k])
+            fill(k, k, d00, d01, d11, d10)
+        for k in range(K):  # up: [P0; P1] = M(t) [U0; U1]
+            r0, r0x, r1, r1x = (np.asarray(x) for x in rec[k])
+            fill(2 * K - 1 - k, k, r0, r0x, r1x, r1)
+        tables = (
+            jnp.asarray(partner),
+            jnp.asarray(cA),
+            jnp.asarray(cB),
+            2 * K,
+        )
+        self._ext_cache[key] = tables
+        return tables
+
     def _extend_impl(self, evals: jnp.ndarray, moiety: str, d: int):
+        """Flat positional-kernel extend (see _flat_extend_tables)."""
+        m = evals.shape[-1]
+        assert m == self.n >> (d + 1), (m, self.n, d)
+        if m == 1:
+            return evals
+        partner, cA, cB, nsteps = self._flat_extend_tables(d, moiety)
+        ndim = evals.ndim
+
+        def body(i, st):
+            pid = jax.lax.dynamic_index_in_dim(partner, i, keepdims=False)
+            ca = jax.lax.dynamic_index_in_dim(cA, i, keepdims=False)
+            cb = jax.lax.dynamic_index_in_dim(cB, i, keepdims=False)
+            shape = (fr.NLIMB,) + (1,) * (ndim - 2) + (m,)
+            ca = ca.reshape(shape)
+            cb = cb.reshape(shape)
+            pstate = jnp.take(st, pid, axis=-1)
+            return fr.add(fr.mul(ca, st), fr.mul(cb, pstate))
+
+        return jax.lax.fori_loop(0, nsteps, body, evals)
+
+    def _extend_impl_levelwise(self, evals: jnp.ndarray, moiety: str, d: int):
         """Evals of P (deg < m) on one moiety of view(d) -> the other moiety.
 
         evals: (20, *batch, m) with m = n/2^(d+1).

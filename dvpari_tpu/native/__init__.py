@@ -1,0 +1,106 @@
+"""ctypes loader for the native host backend (libdvpari_native.so).
+
+Builds on demand with cmake+ninja (toolchain is baked into the image);
+falls back cleanly to the pure-python host oracle when unavailable so
+the framework never hard-depends on the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BUILD = os.path.join(_HERE, "build")
+_LIB_PATH = os.path.join(_BUILD, "libdvpari_native.so")
+
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    if os.path.exists(_LIB_PATH) and not force:
+        return _LIB_PATH
+    os.makedirs(_BUILD, exist_ok=True)
+    subprocess.run(
+        ["cmake", "-S", _HERE, "-B", _BUILD, "-G", "Ninja",
+         "-DCMAKE_BUILD_TYPE=Release"],
+        check=True, capture_output=True,
+    )
+    subprocess.run(["ninja", "-C", _BUILD], check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def load() -> "ctypes.CDLL | None":
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        path = build()
+    except Exception:
+        return None
+    lib = ctypes.CDLL(path)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.dv_fe_mul.argtypes = [u64p, u64p, u64p]
+    lib.dv_fe_inv.argtypes = [u64p, u64p]
+    lib.dv_fe_trace.argtypes = [u64p]
+    lib.dv_fe_trace.restype = ctypes.c_int
+    lib.dv_fe_halftrace.argtypes = [u64p, u64p]
+    lib.dv_pt_add.argtypes = [u64p, u64p, u64p]
+    lib.dv_pt_double.argtypes = [u64p, u64p]
+    lib.dv_pt_batch_affine.argtypes = [u64p, ctypes.c_int64, u64p, u8p]
+    lib.dv_pt_decode_bulk.argtypes = [u8p, ctypes.c_int64, u64p, u8p]
+    lib.dv_pt_decode_bulk.restype = ctypes.c_int64
+    lib.dv_pt_encode_bulk.argtypes = [u64p, u8p, ctypes.c_int64, u8p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# --- numpy-facing helpers --------------------------------------------------
+
+def _u64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def fe_int_to_words(x: int) -> np.ndarray:
+    return np.frombuffer(int(x).to_bytes(32, "little"), dtype=np.uint64).copy()
+
+
+def fe_words_to_int(w: np.ndarray) -> int:
+    return int.from_bytes(w.tobytes(), "little")
+
+
+def decode_bulk(data: bytes):
+    """30-byte records -> (xy uint64[n,8], inf uint8[n]); raises on invalid."""
+    lib = load()
+    assert lib is not None
+    n = len(data) // 30
+    raw = np.frombuffer(data, dtype=np.uint8)
+    xy = np.zeros((n, 8), dtype=np.uint64)
+    inf = np.zeros(n, dtype=np.uint8)
+    bad = lib.dv_pt_decode_bulk(_u8p(raw), n, _u64p(xy), _u8p(inf))
+    if bad:
+        raise ValueError(f"{bad} invalid point records")
+    return xy, inf
+
+
+def encode_bulk(xy: np.ndarray, inf: np.ndarray) -> bytes:
+    lib = load()
+    assert lib is not None
+    n = len(inf)
+    out = np.zeros(30 * n, dtype=np.uint8)
+    xy = np.ascontiguousarray(xy, dtype=np.uint64)
+    inf = np.ascontiguousarray(inf, dtype=np.uint8)
+    lib.dv_pt_encode_bulk(_u64p(xy), _u8p(inf), n, _u8p(out))
+    return out.tobytes()

@@ -233,6 +233,135 @@ def scalar_mul_gen(bits: jnp.ndarray) -> jnp.ndarray:
     return scalar_mul(bits, gb)
 
 
+def frobenius(p: jnp.ndarray, k: int = 1) -> jnp.ndarray:
+    """tau^k(P) = (X^2^k : Y^2^k : Z^2^k) - the Koblitz endomorphism.
+
+    Squaring is linear in GF(2^233), so this costs ~1/50 of a double;
+    it is the engine behind the tau-NAF ladder (reference capability:
+    xsk233_mul_frob, src/curve.rs:113-126).
+    """
+    out = p
+    for _ in range(k):
+        out = jnp.stack(
+            [gf2.square(out[0]), gf2.square(out[1]), gf2.square(out[2])], axis=0
+        )
+    return out
+
+
+def _tnaf_table(p: jnp.ndarray) -> jnp.ndarray:
+    """The 11-entry window table [inf, P, tP, t2P, t3P, P+-t2P, P+-t3P,
+    tP+-t3P] as one stacked array (11, 3, 8, *batch)."""
+    tp = frobenius(p)
+    t2p = frobenius(tp)
+    t3p = frobenius(t2p)
+    inf = jnp.broadcast_to(
+        infinity().reshape(3, gf2.NWORD, *(1,) * (p.ndim - 2)), p.shape
+    )
+    return jnp.stack(
+        [
+            inf,
+            p,
+            tp,
+            t2p,
+            t3p,
+            add(p, t2p),
+            add(p, neg(t2p)),
+            add(p, t3p),
+            add(p, neg(t3p)),
+            add(tp, t3p),
+            add(tp, neg(t3p)),
+        ],
+        axis=0,
+    )
+
+
+def scalar_mul_frob(idx: jnp.ndarray, sgn: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """[k]P from width-4 tau-NAF window codes (see ops.tnaf.recode_scalars).
+
+    idx/sgn: int32[N_WINDOWS, *batch]; p: (3, 8, *batch).
+    62 iterations of (4 frobenius + table gather + signed complete add).
+    """
+    from dvpari_tpu.ops.tnaf import N_WINDOWS
+
+    batch = jnp.broadcast_shapes(idx.shape[1:], p.shape[2:])
+    p = jnp.broadcast_to(p, (3, gf2.NWORD, *batch))
+    table = _tnaf_table(p)  # (11, 3, 8, *batch)
+
+    def body(w, acc):
+        acc = frobenius(acc, 4)
+        i = jax.lax.dynamic_index_in_dim(idx, N_WINDOWS - 1 - w, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(sgn, N_WINDOWS - 1 - w, keepdims=False)
+        gather_idx = jnp.broadcast_to(i, (1, 3, gf2.NWORD, *batch))
+        t = jnp.take_along_axis(table, gather_idx, axis=0)[0]
+        t = jnp.where((s == -1)[None, None, ...], neg(t), t)
+        return add(acc, t)
+
+    acc0 = jnp.broadcast_to(
+        infinity().reshape(3, gf2.NWORD, *(1,) * len(batch)),
+        (3, gf2.NWORD, *batch),
+    )
+    return jax.lax.fori_loop(0, N_WINDOWS, body, acc0)
+
+
+def msm_frob(idx: jnp.ndarray, sgn: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Frobenius-accelerated MSM (lane ladder + pairwise fold)."""
+    return reduce_sum(scalar_mul_frob(idx, sgn, points))
+
+
+# Jitted entry points: the ladder contains nested lax loops which must not
+# be dispatched as standalone eager scans (slow, and this jaxlib's XLA:CPU
+# crashes sporadically under eager compile storms).
+_msm_frob_jit = None
+_smul_frob_jit = None
+
+
+def msm_frob_jit(idx, sgn, points):
+    global _msm_frob_jit
+    if _msm_frob_jit is None:
+        _msm_frob_jit = jax.jit(msm_frob)
+    return _msm_frob_jit(idx, sgn, points)
+
+
+def scalar_mul_frob_jit(idx, sgn, points):
+    global _smul_frob_jit
+    if _smul_frob_jit is None:
+        _smul_frob_jit = jax.jit(scalar_mul_frob)
+    return _smul_frob_jit(idx, sgn, points)
+
+
+def recode_ints(ks) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    from dvpari_tpu.ops.tnaf import recode_scalars
+
+    idx, sgn = recode_scalars(ks)
+    return jnp.asarray(idx), jnp.asarray(sgn)
+
+
+def msm_limbs(scalars: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """MSM over device Fr limb scalars via the tau-NAF fast path.
+
+    Recoding currently round-trips through the host (the native recoder
+    is the planned C++ replacement, mirroring the split in the reference
+    where recoding lives in the C library).
+    """
+    from dvpari_tpu.ops import fr
+
+    ints = fr.to_int(scalars)
+    if isinstance(ints, int):
+        ints = [ints]
+    idx, sgn = recode_ints(ints)
+    return msm_frob_jit(idx, sgn, points)
+
+
+def scalar_mul_gen_ints(ks) -> jnp.ndarray:
+    """[k_i]G batched over the tau-NAF ladder (reference capability:
+    xsk233_mulgen_frob, src/curve.rs:129-137)."""
+    idx, sgn = recode_ints(ks)
+    g = jnp.broadcast_to(
+        generator().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, idx.shape[-1])
+    )
+    return scalar_mul_frob_jit(idx, sgn, g)
+
+
 def reduce_sum(points: jnp.ndarray) -> jnp.ndarray:
     """Group-sum over the last batch axis by log-depth pairwise folding."""
     n = points.shape[-1]

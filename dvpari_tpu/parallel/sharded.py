@@ -1,9 +1,15 @@
 """Sharded MSM and prove-step building blocks.
 
 MSM maps the reference's rayon map+reduce (reference: src/curve.rs:141-158)
-onto the mesh: each shard runs the batched double-and-add ladder over its
-point slice, folds locally, then partial sums are all-gathered over ICI
-and folded to a replicated result (shard_map + all_gather).
+onto the mesh: each shard runs the batched ladder over its point slice
+and folds locally inside shard_map; the tiny cross-device fold of the
+per-shard partials happens outside, where XLA lowers it to an
+all-gather + log-depth adds over ICI.
+
+(Implementation note: putting the all_gather + fold inside the
+shard_map body triggers a pathological compile in this jaxlib; the
+split form compiles in seconds and is also cleaner - the collective
+lives at the jit level where GSPMD owns layout.)
 
 The ECFFT/elementwise prover stages are expressed as ordinary jitted
 code over domain-sharded arrays: XLA/GSPMD inserts the cross-shard
@@ -17,7 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from dvpari_tpu.ops import xsk233
@@ -28,20 +34,42 @@ def msm_sharded(bits: jnp.ndarray, points: jnp.ndarray, mesh) -> jnp.ndarray:
     """sum_i [k_i] P_i with points/scalars sharded over the mesh.
 
     bits: uint32[232, n]; points: uint32[3, 8, n]; n divisible by #devices.
-    Returns a replicated (3, 8) point.
+    Returns the (3, 8) total.
     """
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(None, SHARD_AXIS), P(None, None, SHARD_AXIS)),
-        out_specs=P(),
+        out_specs=P(None, None, SHARD_AXIS),
         check_rep=False,
     )
-    def run(bits_l, pts_l):
-        local = xsk233.msm(bits_l, pts_l)  # (3, 8) partial sum
-        gathered = jax.lax.all_gather(local, SHARD_AXIS)  # (ndev, 3, 8)
-        stacked = jnp.moveaxis(gathered, 0, -1)  # (3, 8, ndev)
-        return xsk233.reduce_sum(stacked)
+    def local(b, p):
+        return xsk233.msm(b, p)[..., None]  # one partial per shard
+
+    @jax.jit
+    def run(b, p):
+        partials = local(b, p)  # (3, 8, ndev)
+        return xsk233.reduce_sum(partials)
 
     return run(bits, points)
+
+
+def msm_frob_sharded(idx, sgn, points, mesh) -> jnp.ndarray:
+    """tau-NAF MSM across the mesh (fast path)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS), P(None, None, SHARD_AXIS)),
+        out_specs=P(None, None, SHARD_AXIS),
+        check_rep=False,
+    )
+    def local(i, s, p):
+        return xsk233.msm_frob(i, s, p)[..., None]
+
+    @jax.jit
+    def run(i, s, p):
+        return xsk233.reduce_sum(local(i, s, p))
+
+    return run(idx, sgn, points)

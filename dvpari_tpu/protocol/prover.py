@@ -112,7 +112,7 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
     with phase("prove.msm_gm", n=len(assignment)):
         g_m = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_M))
         assert g_m.shape[-1] == len(assignment), (g_m.shape, len(assignment))
-        msm_gm = xsk233.msm(xsk233.fr_limbs_to_bits(w_dev), g_m)
+        msm_gm = xsk233.msm_limbs(w_dev, g_m)
 
     transcript = Transcript()
     transcript.circuit_info_hash(inst)
@@ -131,7 +131,7 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
 
     with phase("prove.msm_gq", n=m):
         g_q = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_Q))
-        msm_q = xsk233.msm(xsk233.fr_limbs_to_bits(q2), g_q)
+        msm_q = xsk233.msm_limbs(q2, g_q)
 
     commit_p = xsk233.add(msm_q, msm_gm)
     commit_p_bytes = host.encode(xsk233.to_affine_int(commit_p))
@@ -176,7 +176,7 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
         ]
         g_k_all = jnp.concatenate(srs_g_k, axis=-1)
         s_k_all = jnp.concatenate([k_a, k_b, k_r], axis=-1)
-        kzg_k = xsk233.msm(xsk233.fr_limbs_to_bits(s_k_all), g_k_all)
+        kzg_k = xsk233.msm_limbs(s_k_all, g_k_all)
 
     return Proof(
         commit_p=commit_p_bytes,

@@ -68,13 +68,14 @@ class Trapdoor:
         return cls(*vals)
 
 
-def _scalar_bits(values: jnp.ndarray) -> jnp.ndarray:
-    return xsk233.fr_limbs_to_bits(values)
-
-
 def _gen_mul_batch(scalars: jnp.ndarray) -> jnp.ndarray:
-    """[s_i] G for a limb batch (20, n) -> points (3, 8, n)."""
-    return xsk233.scalar_mul_gen(_scalar_bits(scalars))
+    """[s_i] G for a limb batch (20, n) -> points (3, 8, n), via the
+    tau-NAF fixed-base ladder (reference: xsk233_mulgen_frob fan-out,
+    src/srs.rs:131-159)."""
+    ints = fr.to_int(scalars)
+    if isinstance(ints, int):
+        ints = [ints]
+    return xsk233.scalar_mul_gen_ints(ints)
 
 
 def accumulate_m_values(

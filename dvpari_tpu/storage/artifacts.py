@@ -26,6 +26,7 @@ import os
 import struct
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from dvpari_tpu.ops import fr, gf2, xsk233
@@ -88,7 +89,23 @@ def read_fr_vec(path: str) -> jnp.ndarray:
 
 def write_point_vec(path: str, points: jnp.ndarray) -> None:
     """points: (3, 8, n) projective batch -> 30B compressed records +
-    .fast.npz sidecar with the affine word arrays."""
+    .fast.npz sidecar with the affine word arrays.
+
+    Uses the native backend (batched affine normalization + bulk encode)
+    when available; python host codec otherwise.
+    """
+    from dvpari_tpu import native
+
+    if native.available():
+        xy, inf = _native_batch_affine(points)
+        data = native.encode_bulk(xy, inf)
+        n = len(inf)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", n))
+            f.write(data)
+        _write_point_sidecar_words(path, xy, inf)
+        return
+
     from dvpari_tpu.utils import xsk233_host as host
 
     affine = xsk233.to_affine_int(points)
@@ -99,6 +116,46 @@ def write_point_vec(path: str, points: jnp.ndarray) -> None:
         for p in affine:
             f.write(host.encode(p))
     _write_point_sidecar(path, affine)
+
+
+def _native_batch_affine(points: jnp.ndarray):
+    """(3, 8, n) uint32 device batch -> (xy uint64[n, 8], inf uint8[n])."""
+    from dvpari_tpu import native
+
+    arr = np.asarray(jax.device_get(points))  # (3, 8, n) uint32
+    n = arr.shape[-1]
+    # repack to native layout: per point 12 u64 words (X, Y, Z)
+    w = np.zeros((n, 12), dtype=np.uint64)
+    for c in range(3):
+        lo = arr[c, 0::2, :].astype(np.uint64)  # even uint32 words
+        hi = arr[c, 1::2, :].astype(np.uint64)
+        w[:, 4 * c : 4 * c + 4] = (lo | (hi << 32)).T
+    xy = np.zeros((n, 8), dtype=np.uint64)
+    inf = np.zeros(n, dtype=np.uint8)
+    lib = native.load()
+    lib.dv_pt_batch_affine(
+        native._u64p(np.ascontiguousarray(w)), n, native._u64p(xy),
+        native._u8p(inf),
+    )
+    return xy, inf
+
+
+def _words64_to_proj(xy: np.ndarray, inf: np.ndarray) -> jnp.ndarray:
+    """(n, 8) u64 affine pairs + inf flags -> (3, 8, n) uint32 batch."""
+    n = len(inf)
+    out = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
+    for c, sl in ((0, slice(0, 4)), (1, slice(4, 8))):
+        w64 = xy[:, sl].T  # (4, n)
+        out[c, 0::2, :] = (w64 & 0xFFFFFFFF).astype(np.uint32)
+        out[c, 1::2, :] = (w64 >> 32).astype(np.uint32)
+    out[2, 0, :] = np.where(inf == 1, 0, 1)
+    out[1, 0, :] = np.where(inf == 1, 1, out[1, 0, :])
+    return jnp.asarray(out)
+
+
+def _write_point_sidecar_words(path: str, xy: np.ndarray, inf: np.ndarray) -> None:
+    proj = np.asarray(_words64_to_proj(xy, inf))
+    np.savez(path + ".fast.npz", X=proj[0], Y=proj[1], Z=proj[2])
 
 
 def _write_point_sidecar(path: str, affine: list) -> None:
@@ -122,14 +179,22 @@ def read_point_vec(path: str, validate: bool = False) -> jnp.ndarray:
     if os.path.exists(fast) and not validate:
         z = np.load(fast)
         return jnp.asarray(np.stack([z["X"], z["Y"], z["Z"]], axis=0))
-    from dvpari_tpu.utils import xsk233_host as host
-
     with open(path, "rb") as f:
         data = f.read()
     (n,) = struct.unpack_from("<Q", data, 0)
+    payload = data[8 : 8 + n * PT_RECORD]
+
+    from dvpari_tpu import native
+
+    if native.available():
+        xy, inf = native.decode_bulk(payload)  # raises on invalid records
+        return _words64_to_proj(xy, inf)
+
+    from dvpari_tpu.utils import xsk233_host as host
+
     pts = []
     for j in range(n):
-        rec = data[8 + j * PT_RECORD : 8 + (j + 1) * PT_RECORD]
+        rec = payload[j * PT_RECORD : (j + 1) * PT_RECORD]
         p, ok = host.decode(rec)
         assert ok, f"invalid point record {j} in {path}"
         pts.append(p)

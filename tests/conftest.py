@@ -25,5 +25,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: most suite time is XLA CPU compiles of the
 # big crypto graphs; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# This jaxlib's XLA:CPU AOT cache entries embed pseudo-features
+# (+prefer-no-scatter) the loader rejects on reload -> SIGSEGV; cache the
+# compile front-end only.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")

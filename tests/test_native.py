@@ -1,0 +1,82 @@
+"""Native (C++) host backend vs the python-int oracle.
+
+The native library plays the role of the reference's xs233 C layer for
+host-side work (bulk codec, batched affine); the TPU kernels remain the
+compute path and both must agree bit-exactly.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from dvpari_tpu import native
+from dvpari_tpu.utils import gf2_host as gh, xsk233_host as host
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native backend unavailable"
+)
+
+
+def test_field_ops_match_oracle():
+    lib = native.load()
+    rng = random.Random(17)
+    out = np.zeros(4, np.uint64)
+    for _ in range(10):
+        a = gh.reduce_int(rng.getrandbits(233))
+        b = gh.reduce_int(rng.getrandbits(233))
+        A, B = native.fe_int_to_words(a), native.fe_int_to_words(b)
+        lib.dv_fe_mul(native._u64p(A), native._u64p(B), native._u64p(out))
+        assert native.fe_words_to_int(out) == gh.mul_int(a, b)
+        lib.dv_fe_inv(native._u64p(A), native._u64p(out))
+        assert native.fe_words_to_int(out) == gh.inv_int(a)
+        assert lib.dv_fe_trace(native._u64p(A)) == gh.trace_fast_int(a)
+        lib.dv_fe_halftrace(native._u64p(A), native._u64p(out))
+        assert native.fe_words_to_int(out) == gh.halftrace_int(a)
+
+
+def test_codec_matches_python():
+    rng = random.Random(18)
+    pts = [host.smul(rng.randrange(1, host.R), (host.GX, host.GY)) for _ in range(6)]
+    pts.append(None)
+    enc_py = b"".join(host.encode(p) for p in pts)
+    xy, inf = native.decode_bulk(enc_py)
+    for i, p in enumerate(pts):
+        if p is None:
+            assert inf[i] == 1
+        else:
+            assert native.fe_words_to_int(xy[i, :4]) == p[0]
+            assert native.fe_words_to_int(xy[i, 4:]) == p[1]
+    assert native.encode_bulk(xy, inf) == enc_py
+
+
+def test_codec_rejections():
+    p = host.smul(12345, (host.GX, host.GY))
+    bad = bytearray(host.encode(p))
+    bad[29] |= 0x80
+    with pytest.raises(ValueError):
+        native.decode_bulk(bytes(bad))
+    # P + 2-torsion: on curve but outside the prime subgroup
+    with pytest.raises(ValueError):
+        native.decode_bulk(host.encode(host.add(p, (0, 1))))
+
+
+def test_point_vec_artifact_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from dvpari_tpu.ops import xsk233
+    from dvpari_tpu.storage import artifacts as art
+
+    rng = random.Random(19)
+    pts = [host.smul(rng.randrange(1, host.R), (host.GX, host.GY)) for _ in range(5)]
+    pts.append(None)
+    batch = xsk233.from_affine_int(pts)
+    path = str(tmp_path / "g_test")
+    art.write_point_vec(path, batch)
+    back = art.read_point_vec(path)
+    assert xsk233.to_affine_int(back) == pts
+    # without sidecar (decode path)
+    import os
+
+    os.remove(path + ".fast.npz")
+    back2 = art.read_point_vec(path)
+    assert xsk233.to_affine_int(back2) == pts
