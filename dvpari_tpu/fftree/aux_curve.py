@@ -191,3 +191,49 @@ def build_chain(domain_len: int, shift_by_one: bool, base_log_n: int):
 
 def log2(n: int) -> int:
     return n.bit_length() - 1
+
+
+@dataclass
+class ChainMeta:
+    """Per-layer constants WITHOUT point enumeration (cheap host work).
+
+    Used by the device-side leaf builder (FFTree.build(device=True)):
+    layer-0 points come from batched affine adds of doubled generators,
+    higher layers from batched isogeny x-maps.
+    """
+
+    coset: tuple
+    gen_doubles: list  # [2^j * G for j < log2(n)] as points
+    layers: list  # per layer: (curve, x0 or None)
+
+
+def build_chain_meta(domain_len: int, shift_by_one: bool, base_log_n: int) -> ChainMeta:
+    assert domain_len & (domain_len - 1) == 0
+    log_n = domain_len.bit_length() - 1
+    assert log_n <= SUBGROUP_ADICITY
+    curve = Curve(CURVE_A, CURVE_B)
+    gen = double_k(curve, SUBGROUP_GEN, SUBGROUP_ADICITY - log_n)
+    base_gen = double_k(curve, SUBGROUP_GEN, SUBGROUP_ADICITY - base_log_n)
+    coset = COSET_OFFSET
+    if shift_by_one:
+        coset = add(curve, coset, base_gen)
+
+    gen_doubles = []
+    g = gen
+    for _ in range(log_n):
+        gen_doubles.append(g)
+        g = double(curve, g)
+
+    layers = []
+    c, gl, n = curve, gen, domain_len
+    while True:
+        if n == 1:
+            layers.append((c, None))
+            break
+        ker = double_k(c, gl, log2(n) - 1)
+        assert ker is not None and ker[1] == 0
+        iso = two_isogeny_from_kernel(c, ker[0])
+        layers.append((c, iso))
+        gl = iso.map_point(gl)
+        c, n = iso.codomain, n // 2
+    return ChainMeta(coset=coset, gen_doubles=gen_doubles, layers=layers)

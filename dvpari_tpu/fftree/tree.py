@@ -74,9 +74,32 @@ class FFTree:
     # -- construction -------------------------------------------------------
 
     @classmethod
-    def build(cls, domain_len: int, shift_by_one: bool, base_log_n: int):
-        """Host-side chain construction (reference: build_sect_ecfft_tree,
-        src/ec_fft.rs:197-239)."""
+    def build(
+        cls,
+        domain_len: int,
+        shift_by_one: bool,
+        base_log_n: int,
+        device: "bool | None" = None,
+    ):
+        """Chain construction (reference: build_sect_ecfft_tree,
+        src/ec_fft.rs:197-239).
+
+        The isogeny chain is always built on the host (O(log n) point
+        ops); the leaf/layer enumeration runs on-device for larger
+        domains (batched affine ladder, fftree/device_build.py) and on
+        the host for small ones.
+        """
+        if device is None:
+            # host chain build is ~30us/point - fine into the millions;
+            # the device path avoids host enumeration for huge domains
+            device = domain_len >= (1 << 18)
+        if device:
+            from dvpari_tpu.fftree.device_build import build_layers_device
+
+            meta = aux_curve.build_chain_meta(domain_len, shift_by_one, base_log_n)
+            layers = build_layers_device(meta, domain_len)
+            x0s = [iso.x0 for _, iso in meta.layers if iso is not None]
+            return cls(layers, x0s, shift_by_one, base_log_n)
         chain = aux_curve.build_chain(domain_len, shift_by_one, base_log_n)
         layers = [jnp.asarray(fr.from_int(layer.xs)) for layer in chain]
         x0s = [layer.isogeny.x0 for layer in chain if layer.isogeny is not None]

@@ -117,7 +117,12 @@ def _clmul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         for j in range(NWORD):
             bit = (b[j] >> i) & 1
             mask = (jnp.uint32(0) - bit)[None, ...]
-            acc = acc.at[j : j + 9].set(acc[j : j + 9] ^ (a_sh & mask))
+            seg = acc[j : j + 9] ^ (a_sh & mask)
+            # concat form instead of .at[] so Pallas can lower it
+            parts = [seg] if j == 0 else [acc[:j], seg]
+            if j + 9 < 2 * NWORD:
+                parts.append(acc[j + 9 :])
+            acc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         # shift a_sh left by one bit across words
         hi = a_sh >> 31
         a_sh = (a_sh << 1) | jnp.concatenate(
@@ -133,9 +138,15 @@ def _shift_left_bits(v: jnp.ndarray, bits: int, out_words: int) -> jnp.ndarray:
     """v << bits into an out_words-wide array (static shift)."""
     wshift, bshift = divmod(bits, W)
     batch = v.shape[1:]
-    padded = jnp.zeros((out_words, *batch), dtype=jnp.uint32)
     n = min(v.shape[0], out_words - wshift)
-    padded = padded.at[wshift : wshift + n].set(v[:n])
+    parts = []
+    if wshift:
+        parts.append(jnp.zeros((wshift, *batch), dtype=jnp.uint32))
+    parts.append(v[:n])
+    tail = out_words - wshift - n
+    if tail:
+        parts.append(jnp.zeros((tail, *batch), dtype=jnp.uint32))
+    padded = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     if bshift:
         lo = padded << bshift
         hi = padded >> (W - bshift)
@@ -158,23 +169,25 @@ def _shift_right_233(v: jnp.ndarray, out_words: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
+def _mask_top(w: jnp.ndarray) -> jnp.ndarray:
+    """Mask word 7 to its 9 live bits (concat form: Pallas-lowerable)."""
+    return jnp.concatenate([w[:7], w[7:8] & TOP_MASK], axis=0)
+
+
 def _mod_reduce(v: jnp.ndarray) -> jnp.ndarray:
     """Reduce a <=465-bit value (16 words) mod x^233 + x^74 + 1."""
     batch = v.shape[1:]
     # fold 1: hi = bits 233.., up to 232 bits -> 8 words
     hi = _shift_right_233(v, 8)
-    lo = v[:NWORD]
-    lo = lo.at[7].set(lo[7] & TOP_MASK)
+    lo = _mask_top(v[:NWORD])
     r = jnp.concatenate(
-        [lo, jnp.zeros((2, *batch), jnp.uint32)], axis=0
+        [lo ^ hi, jnp.zeros((2, *batch), jnp.uint32)], axis=0
     )  # 10 words: deg(hi << 74) <= 305
-    r = r.at[:8].set(r[:8] ^ hi)
     r = r ^ _shift_left_bits(hi, 74, 10)
     # fold 2: remaining high part has deg <= 72 -> 3 words
     hi2 = _shift_right_233(r, 3)
-    lo2 = r[:NWORD]
-    lo2 = lo2.at[7].set(lo2[7] & TOP_MASK)
-    lo2 = lo2.at[:3].set(lo2[:3] ^ hi2)
+    lo2 = _mask_top(r[:NWORD])
+    lo2 = jnp.concatenate([lo2[:3] ^ hi2, lo2[3:]], axis=0)
     lo2 = lo2 ^ _shift_left_bits(hi2, 74, NWORD)
     return lo2
 

@@ -49,9 +49,13 @@ NBITS = 232  # scalars are canonical Fr elements < p < 2^232
 # ---------------------------------------------------------------------------
 
 def infinity(batch_shape=()) -> jnp.ndarray:
-    p = np.zeros((3, gf2.NWORD, *batch_shape), dtype=np.uint32)
-    p[1, 0] = 1  # (0 : 1 : 0)
-    return jnp.asarray(p)
+    # built with concat of traced zeros/ones (no captured constants, no
+    # scatter) so it is usable inside Pallas kernels
+    zw = jnp.zeros((1, *batch_shape), dtype=jnp.uint32)
+    ow = jnp.ones((1, *batch_shape), dtype=jnp.uint32)
+    X = jnp.concatenate([zw] * gf2.NWORD, axis=0)
+    Y = jnp.concatenate([ow] + [zw] * (gf2.NWORD - 1), axis=0)
+    return jnp.stack([X, Y, X], axis=0)  # (0 : 1 : 0)
 
 
 def generator(batch_shape=()) -> jnp.ndarray:

@@ -111,3 +111,10 @@ def test_extend_matches_interpolation(tree, doms):
                     li = li * (xq - xk) % P * pow(xi - xk, P - 2, P) % P
             acc = (acc + evals[i] * li) % P
         assert got[j] == acc
+
+
+def test_device_build_matches_host():
+    th = FFTree.build(2 * N, False, 4, device=False)
+    td = FFTree.build(2 * N, False, 4, device=True)
+    for lh, ld in zip(th.layers, td.layers):
+        assert fr.to_int(lh) == fr.to_int(ld)
