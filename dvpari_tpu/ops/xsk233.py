@@ -121,41 +121,56 @@ def neg(p: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Group law
 # ---------------------------------------------------------------------------
+#
+# The formulas are evaluated in *stacked stages*: all independent field
+# multiplies of a stage run as ONE batched gf2.mul over an extra trailing
+# axis.  On TPU the ladder is latency-bound by op count, so 6 fat
+# invocations beat ~25 thin ones (~2.5x fewer dispatches).
+
+def _mulstack(pairs):
+    A = jnp.stack([a for a, _ in pairs], axis=-1)
+    B = jnp.stack([b for _, b in pairs], axis=-1)
+    R = gf2.mul(A, B)
+    return [R[..., i] for i in range(len(pairs))]
+
+
+def _sqrstack(vals):
+    R = gf2.square(jnp.stack(vals, axis=-1))
+    return [R[..., i] for i in range(len(vals))]
+
 
 def double(p: jnp.ndarray) -> jnp.ndarray:
     X, Y, Z = p[0], p[1], p[2]
-    S = gf2.mul(X, Z)
-    X2 = gf2.square(X)
-    T = X2 ^ gf2.mul(Y, Z)
+    S, YZ = _mulstack([(X, Z), (Y, Z)])
+    X2, S2 = _sqrstack([X, S])
+    T = X2 ^ YZ
     TpS = T ^ S
-    TT = gf2.mul(T, TpS)
-    X3 = gf2.mul(TT, S)
-    Y3 = gf2.mul(gf2.mul(gf2.square(X2), X), Z) ^ gf2.mul(TT, TpS)
-    S2 = gf2.square(S)
-    Z3 = gf2.mul(S2, S)
-    return jnp.stack([X3, Y3, Z3], axis=0)
+    (X4,) = _sqrstack([X2])
+    TT, Z3 = _mulstack([(T, TpS), (S2, S)])
+    # X^5 Z = X^4 * (X Z) = X4 * S
+    X3, Y3a, Y3b = _mulstack([(TT, S), (X4, S), (TT, TpS)])
+    return jnp.stack([X3, Y3a ^ Y3b, Z3], axis=0)
 
 
 def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Masked-complete addition; handles inf, doubling and inverse cases."""
     X1, Y1, Z1 = p[0], p[1], p[2]
     X2, Y2, Z2 = q[0], q[1], q[2]
-    Wm = gf2.mul(Z1, Z2)
-    U = gf2.mul(Y1, Z2) ^ gf2.mul(Y2, Z1)
-    V = gf2.mul(X1, Z2) ^ gf2.mul(X2, Z1)
-
-    V2 = gf2.square(V)
-    V3 = gf2.mul(V2, V)
-    UW = gf2.mul(U, Wm)
-    N = gf2.mul(gf2.square(U), Wm) ^ gf2.mul(UW, V) ^ V3
-    X3 = gf2.mul(N, V)
-    Z3 = gf2.mul(V3, Wm)
-    V2Z2 = gf2.mul(V2, Z2)
-    Y3 = (
-        gf2.mul(U, gf2.mul(X1, V2Z2) ^ N)
-        ^ gf2.mul(V, N)
-        ^ gf2.mul(Y1, gf2.mul(V3, Z2))
+    Wm, yz1, yz2, xz1, xz2 = _mulstack(
+        [(Z1, Z2), (Y1, Z2), (Y2, Z1), (X1, Z2), (X2, Z1)]
     )
+    U = yz1 ^ yz2
+    V = xz1 ^ xz2
+
+    V2, U2 = _sqrstack([V, U])
+    V3, UW, U2W = _mulstack([(V2, V), (U, Wm), (U2, Wm)])
+    UWV, V2Z2, Z3, V3Z2 = _mulstack(
+        [(UW, V), (V2, Z2), (V3, Wm), (V3, Z2)]
+    )
+    N = U2W ^ UWV ^ V3
+    X3, X1V2Z2, Y1V3Z2 = _mulstack([(N, V), (X1, V2Z2), (Y1, V3Z2)])
+    t1, t2 = _mulstack([(U, X1V2Z2 ^ N), (V, N)])
+    Y3 = t1 ^ t2 ^ Y1V3Z2
     generic = jnp.stack([X3, Y3, Z3], axis=0)
 
     dbl = double(p)
@@ -242,14 +257,13 @@ def frobenius(p: jnp.ndarray, k: int = 1) -> jnp.ndarray:
 
     Squaring is linear in GF(2^233), so this costs ~1/50 of a double;
     it is the engine behind the tau-NAF ladder (reference capability:
-    xsk233_mul_frob, src/curve.rs:113-126).
+    xsk233_mul_frob, src/curve.rs:113-126).  All three coordinates are
+    squared in one batched call per step (word axis moved to front).
     """
-    out = p
+    out = jnp.moveaxis(p, 0, -1)  # (8, *batch, 3)
     for _ in range(k):
-        out = jnp.stack(
-            [gf2.square(out[0]), gf2.square(out[1]), gf2.square(out[2])], axis=0
-        )
-    return out
+        out = gf2.square(out)
+    return jnp.moveaxis(out, -1, 0)
 
 
 def _tnaf_table(p: jnp.ndarray) -> jnp.ndarray:
