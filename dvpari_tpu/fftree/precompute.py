@@ -15,6 +15,47 @@ from dvpari_tpu.ops import fr
 from dvpari_tpu.fftree.tree import FFTree
 from dvpari_tpu.fftree.polyops import poly_derivative
 
+_jit_poly_derivative = jax.jit(poly_derivative)
+_jit_batch_inverse = jax.jit(lambda e: fr.batch_inverse(e, axis=0))
+
+
+@jax.jit
+def _jit_horner_step(tail, leaves, z0):
+    return fr.add(fr.mul(tail, leaves), fr.broadcast_scalar(z0, leaves.shape[1:]))
+
+
+@jax.jit
+def _jit_lagrange_at_tau(z_coeffs, tau, bar_wts, leaves):
+    z_tau = fr.horner_eval(z_coeffs, tau)
+    diff_inv = fr.batch_inverse(
+        fr.sub(fr.broadcast_scalar(tau, leaves.shape[1:]), leaves), axis=0
+    )
+    return fr.mul(
+        fr.mul(fr.broadcast_scalar(z_tau, leaves.shape[1:]), diff_inv), bar_wts
+    )
+
+
+@jax.jit
+def _jit_lagrange_unified(tau, l_tau, l_taud, z_poly, z_polyd, z2inv, z2dinv):
+    m = l_tau.shape[-1]
+    z_tau = fr.horner_eval(z_poly, tau)  # Z_D(tau)
+    zd_tau = fr.horner_eval(z_polyd, tau)  # Z_D'(tau)
+    even = fr.mul(fr.mul(l_tau, fr.broadcast_scalar(zd_tau, (m,))), z2dinv)
+    odd = fr.mul(fr.mul(l_taud, fr.broadcast_scalar(z_tau, (m,))), z2inv)
+    out = jnp.stack([even, odd], axis=-1)  # (20, m, 2)
+    return out.reshape(fr.NLIMB, 2 * m)
+
+
+@jax.jit
+def _jit_barycentric_eval(domain, bar_wts, z_coeffs, p_evals, alpha):
+    z_alpha = fr.horner_eval(z_coeffs, alpha)
+    diff_inv = fr.batch_inverse(
+        fr.sub(fr.broadcast_scalar(alpha, domain.shape[1:]), domain), axis=0
+    )
+    inner = fr.sum_along(fr.mul(fr.mul(p_evals, bar_wts), diff_inv), axis=0)
+    return fr.mul(z_alpha, inner)
+
+
 
 def compute_vanishing_polynomial(tree2n: FFTree) -> jnp.ndarray:
     """Coefficients (n+1, monic) of Z_D for D = tree2n's even moiety.
@@ -33,10 +74,10 @@ def compute_barycentric_weights(
     """1 / Z'(d_i) over the view(d) domain
     (reference: compute_barycentric_weights, src/ec_fft.rs:284-335)."""
     n = tree.n >> d
-    zp = poly_derivative(z_coeffs)  # n coeffs (degree n-1)
+    zp = _jit_poly_derivative(z_coeffs)  # n coeffs (degree n-1)
     assert zp.shape[-1] == n
     evals = tree.enter(zp, d)
-    return fr.batch_inverse(evals, axis=0)
+    return _jit_batch_inverse(evals)
 
 
 def compute_lagrange_basis_at_tau(
@@ -49,16 +90,7 @@ def compute_lagrange_basis_at_tau(
     """L_i(tau) = Z(tau) / ((tau - d_i) Z'(d_i))
     (reference: compute_lagrange_basis_at_tau, src/ec_fft.rs:340-390)."""
     leaves = tree.leaves(d)
-
-    @jax.jit
-    def run(z_coeffs, tau, bar_wts, leaves):
-        z_tau = fr.horner_eval(z_coeffs, tau)
-        diff_inv = fr.batch_inverse(
-            fr.sub(fr.broadcast_scalar(tau, leaves.shape[1:]), leaves), axis=0
-        )
-        return fr.mul(fr.mul(fr.broadcast_scalar(z_tau, leaves.shape[1:]), diff_inv), bar_wts)
-
-    return run(z_coeffs, tau, bar_wts, leaves)
+    return _jit_lagrange_at_tau(z_coeffs, tau, bar_wts, leaves)
 
 
 def evaluate_vanishing_poly_at_domain(
@@ -69,8 +101,7 @@ def evaluate_vanishing_poly_at_domain(
     (reference: evaluate_vanishing_poly_at_domain, src/ec_fft.rs:407-419)."""
     leaves = tree.leaves(d)
     tail = tree.enter(z_coeffs[..., 1:], d)
-    z0 = z_coeffs[..., 0]
-    return fr.add(fr.mul(tail, leaves), fr.broadcast_scalar(z0, leaves.shape[1:]))
+    return _jit_horner_step(tail, leaves, z_coeffs[..., 0])
 
 
 def lagrange_basis_unified(
@@ -86,18 +117,10 @@ def lagrange_basis_unified(
     """Lagrange basis over D u D' (interleaved) from the per-domain bases
     (reference: compute_lagrange_basis_at_tau_over_unified_domain,
     src/ec_fft.rs:424-450; argument mapping as at src/srs.rs:337-346)."""
-
-    @jax.jit
-    def run(tau, l_tau, l_taud, z_poly, z_polyd, z2inv, z2dinv):
-        z_tau = fr.horner_eval(z_poly, tau)  # Z_D(tau)
-        zd_tau = fr.horner_eval(z_polyd, tau)  # Z_D'(tau)
-        m = num_constraints
-        even = fr.mul(fr.mul(l_tau, fr.broadcast_scalar(zd_tau, (m,))), z2dinv)
-        odd = fr.mul(fr.mul(l_taud, fr.broadcast_scalar(z_tau, (m,))), z2inv)
-        out = jnp.stack([even, odd], axis=-1)  # (20, m, 2)
-        return out.reshape(fr.NLIMB, 2 * m)
-
-    return run(tau, l_tau, l_taud, z_poly, z_polyd, z_vals2_inv, z_vals2d_inv)
+    assert l_tau.shape[-1] == num_constraints
+    return _jit_lagrange_unified(
+        tau, l_tau, l_taud, z_poly, z_polyd, z_vals2_inv, z_vals2d_inv
+    )
 
 
 def barycentric_eval_at_alpha(
@@ -110,14 +133,4 @@ def barycentric_eval_at_alpha(
     """P(alpha) = Z(alpha) * sum_i y_i w_i / (alpha - d_i), O(N)
     (reference: evaluate_poly_at_alpha_using_barycentric_weights,
     src/ec_fft.rs:455-491)."""
-
-    @jax.jit
-    def run(domain, bar_wts, z_coeffs, p_evals, alpha):
-        z_alpha = fr.horner_eval(z_coeffs, alpha)
-        diff_inv = fr.batch_inverse(
-            fr.sub(fr.broadcast_scalar(alpha, domain.shape[1:]), domain), axis=0
-        )
-        inner = fr.sum_along(fr.mul(fr.mul(p_evals, bar_wts), diff_inv), axis=0)
-        return fr.mul(z_alpha, inner)
-
-    return run(domain, bar_wts, z_coeffs, p_evals, alpha)
+    return _jit_barycentric_eval(domain, bar_wts, z_coeffs, p_evals, alpha)

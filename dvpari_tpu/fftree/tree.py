@@ -184,7 +184,8 @@ class FFTree:
     def z_coeffs(self, d: int) -> jnp.ndarray:
         """Vanishing-poly coefficients of view(d) leaves: (20, n_d + 1)."""
         if d not in self._zc_cache:
-            self._zc_cache[d] = vanishing_poly_coeffs(self.leaves(d))
+            fn = self._jitted(("zc", self.n >> d), vanishing_poly_coeffs)
+            self._zc_cache[d] = fn(self.leaves(d))
         return self._zc_cache[d]
 
     def _z0_inv_odd(self, d: int) -> jnp.ndarray:

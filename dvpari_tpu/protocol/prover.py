@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from dvpari_tpu.ops import fr, xsk233
@@ -47,11 +48,11 @@ def prover_prepares_precomputes(cache_dir: str, validate_precompute: bool = True
     if not os.path.exists(zpath):
         # evaluate Z_D over D' (odd moiety of tree2n): full-leaf eval, odd half
         full = _eval_z_all_leaves(tree2n, z_poly)
-        vals = fr.batch_inverse(full[:, 1::2], axis=0)
+        vals = pre._jit_batch_inverse(full[:, 1::2])
         art.write_fr_vec(zpath, vals)
     if validate_precompute:
         evs = pre.evaluate_vanishing_poly_at_domain(z_poly, tree2n, 1)
-        assert bool(jnp.all(fr.is_zero(evs))), "vanishing poly invalid over D"
+        assert bool(_jit_all_zero(evs)), "vanishing poly invalid over D"
 
 
 def _eval_z_all_leaves(tree2n, z_poly):
@@ -60,21 +61,61 @@ def _eval_z_all_leaves(tree2n, z_poly):
     n = leaves.shape[-1]
     pad = jnp.zeros((fr.NLIMB, n - z_poly.shape[-1] + 1), dtype=jnp.int32)
     tail = tree2n.enter(jnp.concatenate([z_poly[:, 1:], pad], axis=-1), 0)
-    z0 = z_poly[..., 0]
-    return fr.add(fr.mul(tail, leaves), fr.broadcast_scalar(z0, leaves.shape[1:]))
+    return pre._jit_horner_step(tail, leaves, z_poly[..., 0])
+
+
+@jax.jit
+def _jit_monomial_evals(pubs: jnp.ndarray, dom: jnp.ndarray) -> jnp.ndarray:
+    """i(d) = sum_j pubs[:, j] d^j over the domain; pubs int32[20, k]."""
+    m = dom.shape[-1]
+    k = pubs.shape[-1]
+    acc = fr.zeros((m,))
+    power = fr.ones((m,))
+    for j in range(k):
+        xd = jnp.broadcast_to(pubs[:, j : j + 1], (fr.NLIMB, m))
+        acc = fr.add(acc, fr.mul(xd, power))
+        if j + 1 < k:
+            power = fr.mul(power, dom)
+    return acc
 
 
 def _monomial_evals_over_domain(public_inputs, dom: jnp.ndarray) -> jnp.ndarray:
-    """i(d) = sum_j x_j d^j for every domain element (device)."""
+    pubs = jnp.asarray(fr.from_int([int(x) for x in public_inputs]))
+    return _jit_monomial_evals(pubs, dom)
+
+
+@jax.jit
+def _jit_sat_check(a, b, c, i):
+    return jnp.all(fr.is_zero(fr.sub(fr.mul(a, b), fr.add(c, i))))
+
+
+_jit_all_zero = jax.jit(lambda v: jnp.all(fr.is_zero(v)))
+
+
+@jax.jit
+def _jit_quotient(a2, b2, i2, c2, z2inv):
+    r2 = fr.sub(fr.mul(a2, b2), i2)
+    return r2, fr.mul(fr.sub(r2, c2), z2inv)
+
+
+@jax.jit
+def _jit_k_scalars(dom, dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev):
     m = dom.shape[-1]
-    acc = fr.zeros((m,))
-    power = fr.ones((m,))
-    for j, x in enumerate(public_inputs):
-        xd = fr.broadcast_scalar(fr.from_int(int(x)), (m,))
-        acc = fr.add(acc, fr.mul(xd, power))
-        if j + 1 < len(public_inputs):
-            power = fr.mul(power, dom)
-    return acc
+    r0 = fr.sub(fr.mul(a0, b0), i0)
+    bc = lambda v: fr.broadcast_scalar(v, (m,))
+    denom_inv = fr.batch_inverse(fr.sub(dom, bc(alpha_dev)), axis=0)
+    denom_inv2 = fr.batch_inverse(fr.sub(dom2, bc(alpha_dev)), axis=0)
+    k_a = fr.mul(fr.sub(a_vals, bc(a0)), denom_inv)
+    k_b = fr.mul(fr.sub(b_vals, bc(b0)), denom_inv)
+    r_vals = fr.sub(fr.mul(a_vals, b_vals), i_vals)
+    kr1 = fr.mul(fr.sub(r_vals, bc(r0)), denom_inv)
+    kr2 = fr.mul(fr.sub(r2, bc(r0)), denom_inv2)
+    # interleave [kr(D_i), kr(D'_i)] (reference: src/proving.rs:644-654)
+    k_r = jnp.stack([kr1, kr2], axis=-1).reshape(fr.NLIMB, 2 * m)
+    return jnp.concatenate([k_a, k_b, k_r], axis=-1)
+
+
+_jit_point_add = jax.jit(xsk233.add)
 
 
 def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]") -> Proof:
@@ -106,8 +147,9 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
         i_vals = _monomial_evals_over_domain(public_inputs, dom)
         # witness satisfaction: a*b == c + i on D (reference asserts per row,
         # src/proving.rs:388-395)
-        ok = fr.is_zero(fr.sub(fr.mul(a_vals, b_vals), fr.add(c_vals, i_vals)))
-        assert bool(jnp.all(ok)), "witness does not satisfy the SR1CS relation"
+        assert bool(_jit_sat_check(a_vals, b_vals, c_vals, i_vals)), (
+            "witness does not satisfy the SR1CS relation"
+        )
 
     with phase("prove.msm_gm", n=len(assignment)):
         g_m = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_M))
@@ -125,15 +167,14 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
         i2 = tree2n.extend(i_vals, "S1", 0)
 
     with phase("prove.quotient"):
-        r2 = fr.sub(fr.mul(a2, b2), i2)
         z2inv = art.read_fr_vec(os.path.join(cache_dir, art.Z_VALS2_INV))
-        q2 = fr.mul(fr.sub(r2, c2), z2inv)
+        r2, q2 = _jit_quotient(a2, b2, i2, c2, z2inv)
 
     with phase("prove.msm_gq", n=m):
         g_q = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_Q))
         msm_q = xsk233.msm_limbs(q2, g_q)
 
-    commit_p = xsk233.add(msm_q, msm_gm)
+    commit_p = _jit_point_add(msm_q, msm_gm)
     commit_p_bytes = host.encode(xsk233.to_affine_int(commit_p))
     transcript.witness_commitment_hash([commit_p_bytes])
     transcript.srs_hash()
@@ -151,23 +192,11 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
         a0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, a_vals, alpha_dev)
         b0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, b_vals, alpha_dev)
         i0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, i_vals, alpha_dev)
-        r0 = fr.sub(fr.mul(a0, b0), i0)
 
     with phase("prove.k_scalars"):
-        denom_inv = fr.batch_inverse(
-            fr.sub(dom, fr.broadcast_scalar(alpha_dev, (m,))), axis=0
+        s_k_all = _jit_k_scalars(
+            dom, dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev
         )
-        denom_inv2 = fr.batch_inverse(
-            fr.sub(dom2, fr.broadcast_scalar(alpha_dev, (m,))), axis=0
-        )
-        bc = lambda v: fr.broadcast_scalar(v, (m,))
-        k_a = fr.mul(fr.sub(a_vals, bc(a0)), denom_inv)
-        k_b = fr.mul(fr.sub(b_vals, bc(b0)), denom_inv)
-        r_vals = fr.sub(fr.mul(a_vals, b_vals), i_vals)
-        kr1 = fr.mul(fr.sub(r_vals, bc(r0)), denom_inv)
-        kr2 = fr.mul(fr.sub(r2, bc(r0)), denom_inv2)
-        # interleave [kr(D_i), kr(D'_i)] (reference: src/proving.rs:644-654)
-        k_r = jnp.stack([kr1, kr2], axis=-1).reshape(fr.NLIMB, 2 * m)
 
     with phase("prove.msm_gk", n=4 * m):
         srs_g_k = [
@@ -175,7 +204,6 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
             for name in (art.SRS_G_K_0, art.SRS_G_K_1, art.SRS_G_K_2)
         ]
         g_k_all = jnp.concatenate(srs_g_k, axis=-1)
-        s_k_all = jnp.concatenate([k_a, k_b, k_r], axis=-1)
         kzg_k = xsk233.msm_limbs(s_k_all, g_k_all)
 
     return Proof(

@@ -78,6 +78,22 @@ def _gen_mul_batch(scalars: jnp.ndarray) -> jnp.ndarray:
     return xsk233.scalar_mul_gen_ints(ints)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n_wires",))
+def _jit_wire_accumulate(coeffs_dev, lt_scaled, cids, rows, wires, n_wires):
+    terms = fr.mul(coeffs_dev[:, cids], lt_scaled[:, rows])
+    sums = jax.ops.segment_sum(
+        terms.T.astype(jnp.int32), wires, num_segments=n_wires
+    ).T
+    return fr.weak_normalize(sums)
+
+
+_jit_scale = jax.jit(fr.mul)
+_jit_add = jax.jit(fr.add)
+
+
 def accumulate_m_values(
     inst: gnark.R1CSInstance, l_tau: jnp.ndarray, delta: int
 ) -> jnp.ndarray:
@@ -98,6 +114,7 @@ def accumulate_m_values(
     d = int(delta) % fr.P
     scales = [1, d, d * d % fr.P]
     total = fr.zeros((n_wires,))
+    m = l_tau.shape[-1]
     for mat, sc in zip((inst.l, inst.r, inst.o), scales):
         if len(mat.wire_ids) == 0:
             continue
@@ -105,12 +122,12 @@ def accumulate_m_values(
             np.arange(len(mat.indptr) - 1, dtype=np.int32),
             np.diff(mat.indptr).astype(np.int64),
         )
-        lt = fr.mul_const(l_tau, sc)  # (20, m)
-        terms = fr.mul(coeffs_dev[:, jnp.asarray(mat.coeff_ids)], lt[:, jnp.asarray(rows)])
-        sums = jax.ops.segment_sum(
-            terms.T.astype(jnp.int32), jnp.asarray(mat.wire_ids), num_segments=n_wires
-        ).T
-        total = fr.add(total, fr.weak_normalize(sums))
+        lt = _jit_scale(l_tau, jnp.asarray(fr.from_int(sc)).reshape(fr.NLIMB, 1))
+        part = _jit_wire_accumulate(
+            coeffs_dev, lt, jnp.asarray(mat.coeff_ids), jnp.asarray(rows),
+            jnp.asarray(mat.wire_ids), n_wires,
+        )
+        total = _jit_add(total, part)
     return total
 
 
@@ -153,7 +170,8 @@ def verifier_runs_setup(
                 art.write_fr_vec(zpath, z)
         if validate_precompute:
             evs = pre.evaluate_vanishing_poly_at_domain(z, tree2, 1)
-            assert bool(jnp.all(fr.is_zero(evs))), "vanishing poly invalid"
+            from dvpari_tpu.protocol.prover import _jit_all_zero
+            assert bool(_jit_all_zero(evs)), "vanishing poly invalid"
         bpath = os.path.join(cache_dir, bf)
         with phase("setup.barycentric", artifact=bf):
             if os.path.exists(bpath):
@@ -177,7 +195,7 @@ def verifier_runs_setup(
         if os.path.exists(path):
             return art.read_fr_vec(path)
         vals = pre.evaluate_vanishing_poly_at_domain(z_coeffs, tree, d)
-        vals = fr.batch_inverse(vals, axis=0)
+        vals = pre._jit_batch_inverse(vals)
         art.write_fr_vec(path, vals)
         return vals
 
@@ -201,14 +219,17 @@ def verifier_runs_setup(
 
     with phase("setup.g_m"):
         m_vals = accumulate_m_values(inst, l_tau, delta)
-        g_m = _gen_mul_batch(fr.mul_const(m_vals, eps))
+        g_m = _gen_mul_batch(
+            _jit_scale(m_vals, jnp.asarray(fr.from_int(eps)).reshape(fr.NLIMB, 1))
+        )
         art.write_point_vec(os.path.join(cache_dir, art.SRS_G_M), g_m)
 
     with phase("setup.g_q"):
-        z_tau = fr.horner_eval(z_poly, tau_dev)
-        z_tau_i = fr.to_int(z_tau)
+        z_tau_i = fr.to_int(jax.jit(fr.horner_eval)(z_poly, tau_dev))
         scale = z_tau_i * delta2 % fr.P * eps % fr.P
-        g_q = _gen_mul_batch(fr.mul_const(l_taud, scale))
+        g_q = _gen_mul_batch(
+            _jit_scale(l_taud, jnp.asarray(fr.from_int(scale)).reshape(fr.NLIMB, 1))
+        )
         art.write_point_vec(os.path.join(cache_dir, art.SRS_G_Q), g_q)
 
     with phase("setup.g_k"):
@@ -217,7 +238,9 @@ def verifier_runs_setup(
             [(l_tau, art.SRS_G_K_0), (l_tau, art.SRS_G_K_1), (l_taul, art.SRS_G_K_2)]
         ):
             dp = [1, delta, delta2][j]
-            gk = _gen_mul_batch(fr.mul_const(l_slice, dp))
+            gk = _gen_mul_batch(
+                _jit_scale(l_slice, jnp.asarray(fr.from_int(dp)).reshape(fr.NLIMB, 1))
+            )
             art.write_point_vec(os.path.join(cache_dir, name), gk)
             g_k.append(gk)
 

@@ -200,6 +200,18 @@ def coeffs_device(inst: R1CSInstance) -> jnp.ndarray:
     return jnp.asarray(fr.from_int(inst.coeffs))
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n_rows",))
+def _eval_csr_jit(coeffs_dev, witness_dev, wires, cids, seg, n_rows):
+    terms = fr.mul(coeffs_dev[:, cids], witness_dev[:, wires])  # (20, nnz)
+    sums = jax.ops.segment_sum(
+        terms.T.astype(jnp.int32), seg, num_segments=n_rows
+    ).T
+    return fr.weak_normalize(sums)
+
+
 def eval_matrix(
     mat: SparseMatrix, coeffs_dev: jnp.ndarray, witness_dev: jnp.ndarray
 ) -> jnp.ndarray:
@@ -215,19 +227,14 @@ def eval_matrix(
     seg_ids = np.repeat(
         np.arange(n_rows, dtype=np.int32), np.diff(mat.indptr).astype(np.int64)
     )
-    wires = jnp.asarray(mat.wire_ids)
-    cids = jnp.asarray(mat.coeff_ids)
-    seg = jnp.asarray(seg_ids)
-
-    @jax.jit
-    def run(coeffs_dev, witness_dev):
-        terms = fr.mul(coeffs_dev[:, cids], witness_dev[:, wires])  # (20, nnz)
-        sums = jax.ops.segment_sum(
-            terms.T.astype(jnp.int32), seg, num_segments=n_rows
-        ).T
-        return fr.weak_normalize(sums)
-
-    return run(coeffs_dev, witness_dev)
+    return _eval_csr_jit(
+        coeffs_dev,
+        witness_dev,
+        jnp.asarray(mat.wire_ids),
+        jnp.asarray(mat.coeff_ids),
+        jnp.asarray(seg_ids),
+        n_rows,
+    )
 
 
 def evaluate_monomial_basis_poly(public_inputs: list, alpha: int) -> int:
