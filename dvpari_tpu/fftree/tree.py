@@ -49,6 +49,22 @@ def _log2(n: int) -> int:
     return n.bit_length() - 1
 
 
+def _host_vanishing_coeffs(points: "list[int]") -> "list[int]":
+    """prod (x - s_i) coefficients via a python-int product tree."""
+    polys = [[(-s) % fr.P, 1] for s in points]
+    while len(polys) > 1:
+        nxt = []
+        for a, b in zip(polys[0::2], polys[1::2]):
+            out = [0] * (len(a) + len(b) - 1)
+            for i, ai in enumerate(a):
+                if ai:
+                    for j, bj in enumerate(b):
+                        out[i + j] = (out[i + j] + ai * bj) % fr.P
+            nxt.append(out)
+        polys = nxt
+    return polys[0]
+
+
 def _bcast(consts: jnp.ndarray, state_ndim: int) -> jnp.ndarray:
     """(20, h) level constants -> (20, 1...1, h) against (20, *B, V, s)."""
     return consts.reshape(
@@ -182,10 +198,24 @@ class FFTree:
         return self._xnn_cache[d]
 
     def z_coeffs(self, d: int) -> jnp.ndarray:
-        """Vanishing-poly coefficients of view(d) leaves: (20, n_d + 1)."""
+        """Vanishing-poly coefficients of view(d) leaves: (20, n_d + 1).
+
+        Computed on the host (python-int product tree) up to moderate
+        sizes: a one-time domain precompute, cached as the z_poly
+        artifact (the reference budgets 2h+ for it at 2^23,
+        src/artifacts.rs:92).  The device product tree exists but its
+        Karatsuba graph needs the level-synchronous rewrite before it
+        compiles economically at scale (JOURNAL.md item 5).
+        """
         if d not in self._zc_cache:
-            fn = self._jitted(("zc", self.n >> d), vanishing_poly_coeffs)
-            self._zc_cache[d] = fn(self.leaves(d))
+            n_d = self.n >> d
+            if n_d <= 4096:
+                self._zc_cache[d] = jnp.asarray(
+                    fr.from_int(_host_vanishing_coeffs(fr.to_int(self.leaves(d))))
+                )
+            else:
+                fn = self._jitted(("zc", n_d), vanishing_poly_coeffs)
+                self._zc_cache[d] = fn(self.leaves(d))
         return self._zc_cache[d]
 
     def _z0_inv_odd(self, d: int) -> jnp.ndarray:
