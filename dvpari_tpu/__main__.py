@@ -81,11 +81,14 @@ def _cmd_prove(args):
     from dvpari_tpu.protocol import prover as prover_mod
     from dvpari_tpu.r1cs import gnark
 
+    from dvpari_tpu.ops import fr
+
     with open(args.witness_file, "rb") as f:
-        wit = gnark.load_witness(f.read())
-    assert wit[0] == 1, "witness must start with the constant-1 wire"
-    pub = wit[1 : 1 + args.public_inputs]
-    priv = wit[1 + args.public_inputs :]
+        wit = gnark.load_witness_limbs(f.read())
+    head = fr.to_int(wit[:, : 1 + args.public_inputs])
+    assert head[0] == 1, "witness must start with the constant-1 wire"
+    pub = head[1:]
+    priv = wit[:, 1 + args.public_inputs :]  # stays as limbs (scale path)
     prover_mod.prover_prepares_precomputes(args.cache_dir, not args.no_validate)
     t0 = time.time()
     proof = prover_mod.prove(args.cache_dir, pub, priv)

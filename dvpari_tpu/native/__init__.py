@@ -20,8 +20,20 @@ _LIB_PATH = os.path.join(_BUILD, "libdvpari_native.so")
 _lib = None
 
 
+def _stale() -> bool:
+    """Rebuild when any source is newer than the built library."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for fname in os.listdir(_HERE):
+        if fname.endswith((".cpp", ".h", ".txt")):
+            if os.path.getmtime(os.path.join(_HERE, fname)) > lib_mtime:
+                return True
+    return False
+
+
 def build(force: bool = False) -> str:
-    if os.path.exists(_LIB_PATH) and not force:
+    if not force and not _stale():
         return _LIB_PATH
     os.makedirs(_BUILD, exist_ok=True)
     subprocess.run(
@@ -33,28 +45,50 @@ def build(force: bool = False) -> str:
     return _LIB_PATH
 
 
+_load_failed = False
+
+
 def load() -> "ctypes.CDLL | None":
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     try:
         path = build()
+        lib = ctypes.CDLL(path)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.dv_fe_mul.argtypes = [u64p, u64p, u64p]
+        lib.dv_fe_inv.argtypes = [u64p, u64p]
+        lib.dv_fe_trace.argtypes = [u64p]
+        lib.dv_fe_trace.restype = ctypes.c_int
+        lib.dv_fe_halftrace.argtypes = [u64p, u64p]
+        lib.dv_pt_add.argtypes = [u64p, u64p, u64p]
+        lib.dv_pt_double.argtypes = [u64p, u64p]
+        lib.dv_pt_batch_affine.argtypes = [u64p, ctypes.c_int64, u64p, u8p]
+        lib.dv_pt_decode_bulk.argtypes = [u8p, ctypes.c_int64, u64p, u8p]
+        lib.dv_pt_decode_bulk.restype = ctypes.c_int64
+        lib.dv_pt_encode_bulk.argtypes = [u64p, u8p, ctypes.c_int64, u8p]
+        lib.dv_tnaf_recode_bulk.argtypes = [u8p, ctypes.c_int64, i8p, i8p]
+        lib.dv_tnaf_recode_bulk.restype = ctypes.c_int64
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.dv_r1cs_meta.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+        ]
+        lib.dv_r1cs_meta.restype = ctypes.c_int
+        lib.dv_r1cs_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u32p,
+            u32p, u32p, u32p, u32p, u32p, u32p,
+        ]
+        lib.dv_r1cs_parse.restype = ctypes.c_int
     except Exception:
+        # any failure (missing toolchain, foreign-arch prebuilt .so, missing
+        # symbol) falls back to the pure-python host codec
+        _load_failed = True
         return None
-    lib = ctypes.CDLL(path)
-    u64p = ctypes.POINTER(ctypes.c_uint64)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.dv_fe_mul.argtypes = [u64p, u64p, u64p]
-    lib.dv_fe_inv.argtypes = [u64p, u64p]
-    lib.dv_fe_trace.argtypes = [u64p]
-    lib.dv_fe_trace.restype = ctypes.c_int
-    lib.dv_fe_halftrace.argtypes = [u64p, u64p]
-    lib.dv_pt_add.argtypes = [u64p, u64p, u64p]
-    lib.dv_pt_double.argtypes = [u64p, u64p]
-    lib.dv_pt_batch_affine.argtypes = [u64p, ctypes.c_int64, u64p, u8p]
-    lib.dv_pt_decode_bulk.argtypes = [u8p, ctypes.c_int64, u64p, u8p]
-    lib.dv_pt_decode_bulk.restype = ctypes.c_int64
-    lib.dv_pt_encode_bulk.argtypes = [u64p, u8p, ctypes.c_int64, u8p]
     _lib = lib
     return lib
 
@@ -93,6 +127,39 @@ def decode_bulk(data: bytes):
     if bad:
         raise ValueError(f"{bad} invalid point records")
     return xy, inf
+
+
+def r1cs_parse_rows(data, rows_off: int):
+    """Bulk-parse the row section of a gnark dump starting at rows_off.
+
+    Returns (counts uint32[n_rows, 3], [(wires, cids)] for L, R, O) or
+    None when the native backend is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n_rows = ctypes.c_int64()
+    terms = (ctypes.c_int64 * 3)()
+    rc = lib.dv_r1cs_meta(
+        _u8p(raw), len(raw), rows_off, ctypes.byref(n_rows), terms
+    )
+    if rc:
+        raise ValueError("malformed gnark R1CS dump")
+    n = n_rows.value
+    counts = np.zeros((n, 3), dtype=np.uint32)
+    mats = [
+        (np.zeros(terms[k], dtype=np.uint32), np.zeros(terms[k], dtype=np.uint32))
+        for k in range(3)
+    ]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    as32 = lambda a: a.ctypes.data_as(u32p)
+    lib.dv_r1cs_parse(
+        _u8p(raw), len(raw), rows_off, as32(counts),
+        as32(mats[0][0]), as32(mats[0][1]), as32(mats[1][0]), as32(mats[1][1]),
+        as32(mats[2][0]), as32(mats[2][1]),
+    )
+    return counts, mats
 
 
 def encode_bulk(xy: np.ndarray, inf: np.ndarray) -> bytes:

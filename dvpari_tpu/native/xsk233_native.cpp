@@ -219,6 +219,219 @@ void pt_to_affine(const PT &p, FE &x, FE &y, int &inf) {
   y = fe_mul(p.Y, zi);
 }
 
+// ----------------- tau-NAF recoding (host, bulk) ---------------------------
+//
+// Mirrors dvpari_tpu/ops/tnaf.py (partmod + tau-NAF + width-4 windowing);
+// the reference keeps recoding inside the C library's xsk233_mul_frob
+// (reference: src/curve.rs:113-137).  Division-free: the round-to-nearest
+// division by N(delta) uses a precomputed Barrett reciprocal with exact
+// correction, so the per-scalar cost is a handful of multiword multiplies.
+
+namespace tnaf {
+
+constexpr int TNAF_LEN = 248;
+constexpr int N_WINDOWS = 62;
+
+// DELTA = (tau^233 - 1)/(tau - 1) in Z[tau]; N = N(DELTA) = subgroup order.
+static const u64 D0[2] = {0xda32c0f4ba75bb3bULL, 0x325402dcb0ed1ULL};
+static const u64 D1[2] = {0x16aa143ccb36bee6ULL, 0x882d72d7ae36eULL};
+static const u64 NW[4] = {0x6efb1ad5f173abdfULL, 0x69d5bb915bcd4ULL, 0ULL,
+                          0x8000000000ULL};
+static const u64 N2W[4] = {0xddf635abe2e757beULL, 0xd3ab7722b79a8ULL, 0ULL,
+                           0x10000000000ULL};
+// MU = floor(2^704 / (2N)) (472 bits)
+static const u64 MU[8] = {0x4ca404ae59007572ULL, 0xeeb5b58a0af7df48ULL,
+                          0x59bebed80293c813ULL, 0xa842af04193b9a7bULL,
+                          0x86572209ca541d18ULL, 0xfffffff2c5488dd4ULL,
+                          0xffffffffffffffffULL, 0xffffffULL};
+// E = D1 - D0 (conj(DELTA) = (D0 - D1, -D1))
+static const u64 EW[2] = {0x3c77534810c103abULL, 0x55d96ffafd49cULL};
+
+static int mag_cmp(const u64 *a, const u64 *b, int n) {
+  for (int i = n - 1; i >= 0; i--) {
+    if (a[i] != b[i]) return a[i] > b[i] ? 1 : -1;
+  }
+  return 0;
+}
+
+static void mag_add(u64 *r, const u64 *a, const u64 *b, int n) {
+  u128 c = 0;
+  for (int i = 0; i < n; i++) {
+    u128 t = (u128)a[i] + b[i] + c;
+    r[i] = (u64)t;
+    c = t >> 64;
+  }
+}
+
+static void mag_sub(u64 *r, const u64 *a, const u64 *b, int n) {  // a >= b
+  u128 borrow = 0;
+  for (int i = 0; i < n; i++) {
+    u128 t = (u128)a[i] - b[i] - borrow;
+    r[i] = (u64)t;
+    borrow = (t >> 64) & 1;
+  }
+}
+
+// r[0..nr) = a * b (truncated); r must not alias a/b
+static void mag_mul(u64 *r, int nr, const u64 *a, int na, const u64 *b,
+                    int nb) {
+  for (int i = 0; i < nr; i++) r[i] = 0;
+  for (int i = 0; i < na && i < nr; i++) {
+    u64 carry = 0;
+    for (int j = 0; j < nb; j++) {
+      if (i + j >= nr) break;
+      u128 t = (u128)a[i] * b[j] + r[i + j] + carry;
+      r[i + j] = (u64)t;
+      carry = (u64)(t >> 64);
+    }
+    for (int j = i + nb; carry && j < nr; j++) {
+      u128 t = (u128)r[j] + carry;
+      r[j] = (u64)t;
+      carry = (u64)(t >> 64);
+    }
+  }
+}
+
+// round(|a| / N) half-away, |a| < 2^350 as 6 words -> magnitude < 2^121
+static u128 mag_divround_N(const u64 a[6]) {
+  // x = 2|a| + N  (7 words)
+  u64 x[7];
+  u64 hi = 0;
+  for (int i = 0; i < 6; i++) {
+    u64 nhi = a[i] >> 63;
+    x[i] = (a[i] << 1) | hi;
+    hi = nhi;
+  }
+  x[6] = hi;
+  u64 n4[7] = {NW[0], NW[1], NW[2], NW[3], 0, 0, 0};
+  mag_add(x, x, n4, 7);
+  // qhat = (x * MU) >> 704   (704 = 11 words)
+  u64 prod[15];
+  mag_mul(prod, 15, x, 7, MU, 8);
+  u64 q[4] = {prod[11], prod[12], prod[13], prod[14]};
+  // correction: qhat <= floor(x / 2N) <= qhat + small
+  u64 q2n[7], diff[7];
+  u64 n2[7] = {N2W[0], N2W[1], N2W[2], N2W[3], 0, 0, 0};
+  for (;;) {
+    u64 q7[7] = {q[0], q[1], q[2], q[3], 0, 0, 0};
+    mag_mul(q2n, 7, q7, 4, N2W, 4);
+    mag_sub(diff, x, q2n, 7);  // x >= q*2N by construction
+    if (mag_cmp(diff, n2, 7) < 0) break;
+    u64 one[4] = {1, 0, 0, 0};
+    mag_add(q, q, one, 4);
+  }
+  return ((u128)q[1] << 64) | q[0];
+}
+
+typedef __int128 i128;
+
+struct SB {  // sign-magnitude, 6 words
+  bool neg;
+  u64 m[6];
+};
+
+static void sb_add(SB &a, const u64 *b, bool bneg) {
+  if (a.neg == bneg) {
+    mag_add(a.m, a.m, b, 6);
+  } else if (mag_cmp(a.m, b, 6) >= 0) {
+    mag_sub(a.m, a.m, b, 6);
+  } else {
+    u64 t[6];
+    mag_sub(t, b, a.m, 6);
+    memcpy(a.m, t, 48);
+    a.neg = bneg;
+  }
+}
+
+static i128 sb_to_i128(const SB &a) {
+  // callers guarantee |a| < 2^126
+  i128 v = ((i128)((u128)a.m[1] << 64 | a.m[0]));
+  return a.neg ? -v : v;
+}
+
+// width-4 window coding (mirrors tnaf._window_code)
+static int window_code(const int8_t *d, int *sgn) {
+  int pos[4], val[4], cnt = 0;
+  for (int i = 0; i < 4; i++) {
+    if (d[i]) {
+      pos[cnt] = i;
+      val[cnt] = d[i];
+      cnt++;
+    }
+  }
+  if (cnt == 0) {
+    *sgn = 1;
+    return 0;
+  }
+  if (cnt == 1) {
+    *sgn = val[0];
+    return 1 + pos[0];
+  }
+  int i = pos[0], j = pos[1], v = val[0], w = val[1];
+  *sgn = v;
+  if (i == 0 && j == 2) return v == w ? 5 : 6;
+  if (i == 0 && j == 3) return v == w ? 7 : 8;
+  if (i == 1 && j == 3) return v == w ? 9 : 10;
+  return -1;  // invalid NAF window (cannot happen)
+}
+
+// scalar: 32-byte LE canonical (< 2^232).  Returns 0 on success.
+static int recode_one(const uint8_t *s32, int8_t *idx_out, int8_t *sgn_out) {
+  u64 k[6] = {0, 0, 0, 0, 0, 0};
+  memcpy(k, s32, 32);
+  // q0 = -round(k*E / N), q1 = -round(k*D1 / N)
+  u64 p0[6], p1[6];
+  mag_mul(p0, 6, k, 4, EW, 2);
+  mag_mul(p1, 6, k, 4, D1, 2);
+  u128 q0m = mag_divround_N(p0);
+  u128 q1m = mag_divround_N(p1);
+  // rho0 = k + q0m*D0 - 2*q1m*D1 ; rho1 = q0m*D1 + q1m*D0 - q1m*D1
+  u64 q0w[2] = {(u64)q0m, (u64)(q0m >> 64)};
+  u64 q1w[2] = {(u64)q1m, (u64)(q1m >> 64)};
+  u64 t[6];
+  SB r0{false, {k[0], k[1], k[2], k[3], 0, 0}};
+  mag_mul(t, 6, q0w, 2, D0, 2);
+  sb_add(r0, t, false);
+  mag_mul(t, 6, q1w, 2, D1, 2);
+  u64 t2[6];
+  mag_add(t2, t, t, 6);
+  sb_add(r0, t2, true);
+  SB r1{false, {0, 0, 0, 0, 0, 0}};
+  mag_mul(t, 6, q0w, 2, D1, 2);
+  sb_add(r1, t, false);
+  mag_mul(t, 6, q1w, 2, D0, 2);
+  sb_add(r1, t, false);
+  mag_mul(t, 6, q1w, 2, D1, 2);
+  sb_add(r1, t, true);
+
+  i128 c = sb_to_i128(r0), d = sb_to_i128(r1);
+  int8_t digs[TNAF_LEN];
+  memset(digs, 0, TNAF_LEN);
+  int i = 0;
+  while (c != 0 || d != 0) {
+    i128 u = 0;
+    if ((u64)c & 1) {
+      u = (i128)2 - (i128)((u64)(c - 2 * d) & 3);
+      c -= u;
+    }
+    if (i >= TNAF_LEN) return 1;
+    digs[i++] = (int8_t)u;
+    i128 ch = c >> 1;  // c is even: exact division
+    c = d - ch;
+    d = -ch;
+  }
+  for (int w = 0; w < N_WINDOWS; w++) {
+    int sgn;
+    int code = window_code(digs + 4 * w, &sgn);
+    if (code < 0) return 1;
+    idx_out[w] = (int8_t)code;
+    sgn_out[w] = (int8_t)sgn;
+  }
+  return 0;
+}
+
+}  // namespace tnaf
+
 }  // namespace
 
 // ----------------------- C ABI exports ------------------------------------
@@ -359,6 +572,86 @@ void dv_pt_encode_bulk(const u64 *xy, const uint8_t *inf, int64_t n,
   for (int64_t i = 0; i < n; i++) {
     dv_pt_encode(xy + 8 * i, inf[i], out + 30 * i);
   }
+}
+
+// ---- gnark R1CS dump row parsing (reference: src/gnark_r1cs.rs:3-20,
+// rayon row loop :144-179).  Two-phase: meta() walks headers to size the
+// outputs, parse() deinterleaves the (wire, coeff) term pairs into three
+// per-matrix arrays.  Layout after the coeff table (all little-endian):
+//   u32 nbRows; per row: u32 nL | u32 nR | u32 nO; (nL+nR+nO) x
+//   (u32 wire_id, u32 coeff_id)
+
+static inline uint32_t rd_u32(const uint8_t *p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+// rows_off: byte offset of the u32 nbRows field.  Returns 0 on success.
+int dv_r1cs_meta(const uint8_t *data, int64_t len, int64_t rows_off,
+                 int64_t *n_rows_out, int64_t *terms_out /* [3]: L, R, O */) {
+  if (rows_off + 4 > len) return 1;
+  int64_t n_rows = rd_u32(data + rows_off);
+  int64_t off = rows_off + 4;
+  int64_t tl = 0, tr = 0, to = 0;
+  for (int64_t i = 0; i < n_rows; i++) {
+    if (off + 12 > len) return 1;
+    uint32_t nl = rd_u32(data + off), nr = rd_u32(data + off + 4),
+             no = rd_u32(data + off + 8);
+    off += 12 + 8 * (int64_t)(nl + (int64_t)nr + no);
+    if (off > len) return 1;
+    tl += nl;
+    tr += nr;
+    to += no;
+  }
+  *n_rows_out = n_rows;
+  terms_out[0] = tl;
+  terms_out[1] = tr;
+  terms_out[2] = to;
+  return 0;
+}
+
+// counts: u32[3 * n_rows] (nl, nr, no per row); lw/lc etc. sized by meta().
+int dv_r1cs_parse(const uint8_t *data, int64_t len, int64_t rows_off,
+                  uint32_t *counts, uint32_t *lw, uint32_t *lc, uint32_t *rw,
+                  uint32_t *rc, uint32_t *ow, uint32_t *oc) {
+  (void)len;
+  int64_t n_rows = rd_u32(data + rows_off);
+  int64_t off = rows_off + 4;
+  uint32_t *wd[3] = {lw, rw, ow};
+  uint32_t *cd[3] = {lc, rc, oc};
+  for (int64_t i = 0; i < n_rows; i++) {
+    uint32_t n3[3] = {rd_u32(data + off), rd_u32(data + off + 4),
+                      rd_u32(data + off + 8)};
+    off += 12;
+    for (int k = 0; k < 3; k++) {
+      counts[3 * i + k] = n3[k];
+      uint32_t *w = wd[k], *c = cd[k];
+      for (uint32_t t = 0; t < n3[k]; t++) {
+        *w++ = rd_u32(data + off);
+        *c++ = rd_u32(data + off + 4);
+        off += 8;
+      }
+      wd[k] = w;
+      cd[k] = c;
+    }
+  }
+  return 0;
+}
+
+// bulk tau-NAF width-4 window recoding.  scalars: 32-byte LE canonical
+// records; outputs: per scalar 62 window table indices + signs (int8).
+// Returns the number of scalars that failed to recode (0 expected).
+int64_t dv_tnaf_recode_bulk(const uint8_t *scalars, int64_t n,
+                            int8_t *idx_out, int8_t *sgn_out) {
+  int64_t bad = 0;
+#pragma omp parallel for reduction(+ : bad) schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    if (tnaf::recode_one(scalars + 32 * i, idx_out + 62 * i,
+                         sgn_out + 62 * i))
+      bad++;
+  }
+  return bad;
 }
 
 }  // extern "C"

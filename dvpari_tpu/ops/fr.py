@@ -103,6 +103,45 @@ def to_int(limbs):
     ]
 
 
+def limbs_from_be_bytes(raw: np.ndarray) -> np.ndarray:
+    """(n, nbytes) big-endian records -> UNREDUCED wide limbs int32[W, n].
+
+    Vectorized (no python-int loops); feed the result through
+    weak_normalize/strong_normalize on device to reduce mod P.
+    """
+    raw = np.asarray(raw, dtype=np.uint8)
+    n, nbytes = raw.shape
+    bits = np.unpackbits(raw[:, ::-1], axis=1, bitorder="little")  # LSB first
+    width = -(-(8 * nbytes) // LIMB_BITS)
+    pad = width * LIMB_BITS - 8 * nbytes
+    bits = np.pad(bits, [(0, 0), (0, pad)])
+    weights = (1 << np.arange(LIMB_BITS)).astype(np.int32)
+    limbs = bits.reshape(n, width, LIMB_BITS).astype(np.int32) @ weights
+    return limbs.T.copy()  # (width, n)
+
+
+def limbs_to_le_bytes(canonical: np.ndarray, width_bytes: int) -> np.ndarray:
+    """Canonical limbs int32[20, n] -> (n, width_bytes) little-endian records.
+
+    Vectorized; limbs must be canonical (strong_normalize output).
+    """
+    limbs = np.asarray(canonical)
+    if limbs.ndim == 1:
+        limbs = limbs[:, None]
+    n = limbs.shape[1]
+    bits = (
+        (limbs.astype(np.uint16)[:, None, :] >> np.arange(LIMB_BITS, dtype=np.uint16)[None, :, None])
+        & 1
+    ).astype(np.uint8)
+    bits = bits.reshape(NLIMB * LIMB_BITS, n).T  # bit 12*limb + b, LSB first
+    packed = np.packbits(bits, axis=1, bitorder="little")  # (n, 30)
+    out = np.zeros((n, width_bytes), dtype=np.uint8)
+    w = min(width_bytes, packed.shape[1])
+    assert not packed[:, w:].any(), "value does not fit in record width"
+    out[:, :w] = packed[:, :w]
+    return out
+
+
 def zeros(batch_shape=()) -> jnp.ndarray:
     return jnp.zeros((NLIMB, *batch_shape), dtype=jnp.int32)
 

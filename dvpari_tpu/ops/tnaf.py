@@ -127,6 +127,51 @@ def _window_code(d0: int, d1: int, d2: int, d3: int):
     raise AssertionError(f"invalid NAF window {d0, d1, d2, d3}")
 
 
+def canonical_limbs_to_le32(limbs: np.ndarray) -> np.ndarray:
+    """Canonical Fr limbs int32[20, n] -> uint8[n, 32] LE records (vectorized).
+
+    Limbs must be canonical (12-bit, non-negative) - i.e. fr.strong_normalize
+    output or fr.from_int output.  No python-int round trips.
+    """
+    from dvpari_tpu.ops import fr
+
+    return fr.limbs_to_le_bytes(limbs, 32)
+
+
+def recode_scalars_bulk(limbs_canonical) -> "tuple[np.ndarray, np.ndarray]":
+    """Canonical Fr limbs -> (idx int32[N_WINDOWS, n], sgn int32[N_WINDOWS, n]).
+
+    Fast path through the native C++ recoder (~1us/scalar with OpenMP,
+    replacing the ~245us/scalar pure-python path); mirrors the reference's
+    choice to keep recoding native (inside xsk233_mul_frob,
+    reference: src/curve.rs:113-137).  Falls back to recode_scalars.
+    """
+    import ctypes
+
+    from dvpari_tpu import native
+
+    arr = np.asarray(limbs_canonical)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[1]
+    lib = native.load()
+    if lib is None:
+        ints = [
+            sum(int(arr[i, j]) << (12 * i) for i in range(20)) for j in range(n)
+        ]
+        return recode_scalars(ints)
+    recs = np.ascontiguousarray(canonical_limbs_to_le32(arr))
+    idx8 = np.empty((n, N_WINDOWS), dtype=np.int8)
+    sgn8 = np.empty((n, N_WINDOWS), dtype=np.int8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    bad = lib.dv_tnaf_recode_bulk(
+        native._u8p(recs), n,
+        idx8.ctypes.data_as(i8p), sgn8.ctypes.data_as(i8p),
+    )
+    assert bad == 0, f"{bad} scalars failed tau-NAF recoding"
+    return idx8.T.astype(np.int32), sgn8.T.astype(np.int32)
+
+
 def recode_scalars(ks) -> "tuple[np.ndarray, np.ndarray]":
     """Scalars -> (table indices int32[N_WINDOWS, n], signs int32[N_WINDOWS, n]).
 

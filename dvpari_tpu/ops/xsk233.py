@@ -354,19 +354,31 @@ def recode_ints(ks) -> "tuple[jnp.ndarray, jnp.ndarray]":
     return jnp.asarray(idx), jnp.asarray(sgn)
 
 
+_strongnorm_jit = None
+
+
+def recode_limbs(scalars: jnp.ndarray) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Device Fr limb scalars -> tau-NAF window codes via the native bulk
+    recoder (device canonicalization + one host round trip, no python-int
+    loops)."""
+    global _strongnorm_jit
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops.tnaf import recode_scalars_bulk
+
+    if _strongnorm_jit is None:
+        _strongnorm_jit = jax.jit(fr.strong_normalize)
+    canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
+    idx, sgn = recode_scalars_bulk(canon)
+    return jnp.asarray(idx), jnp.asarray(sgn)
+
+
 def msm_limbs(scalars: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """MSM over device Fr limb scalars via the tau-NAF fast path.
 
-    Recoding currently round-trips through the host (the native recoder
-    is the planned C++ replacement, mirroring the split in the reference
-    where recoding lives in the C library).
-    """
-    from dvpari_tpu.ops import fr
-
-    ints = fr.to_int(scalars)
-    if isinstance(ints, int):
-        ints = [ints]
-    idx, sgn = recode_ints(ints)
+    Recoding runs in the native C++ backend (bulk, OpenMP), mirroring the
+    split in the reference where recoding lives inside the C library
+    (reference: src/curve.rs:113-137)."""
+    idx, sgn = recode_limbs(scalars)
     return msm_frob_jit(idx, sgn, points)
 
 

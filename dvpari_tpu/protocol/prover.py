@@ -117,6 +117,10 @@ def _jit_k_scalars(dom, dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev)
 
 _jit_point_add = jax.jit(xsk233.add)
 
+_jit_in_domain = jax.jit(
+    lambda dom, a: jnp.any(fr.eq(dom, fr.broadcast_scalar(a, dom.shape[1:])))
+)
+
 
 def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]") -> Proof:
     """(reference: Proof::prove, src/proving.rs:426-688)"""
@@ -126,18 +130,28 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
         n_log = m.bit_length() - 1
         tree2n = _load_or_build_tree(cache_dir, art.TREE_2N, 2 * m, False, n_log + 1)
         dom, dom2 = tree2n.both_domains()
-        dom_ints = fr.to_int(dom)
 
     with phase("prove.r1cs"):
         with open(os.path.join(cache_dir, art.R1CS_CONSTRAINTS_FILE), "rb") as f:
             inst = gnark.instance_from_dump(f.read(), len(public_inputs))
         assert inst.num_constraints == m
-        gnark.add_vandermonde_matrix(inst, dom_ints)
+        gnark.add_vandermonde_matrix(inst, dom)
 
-    assignment = [1] + [int(x) % fr.P for x in public_inputs] + [
-        int(x) % fr.P for x in private_inputs
-    ]
-    w_dev = jnp.asarray(fr.from_int(assignment))
+    head = fr.from_int([1] + [int(x) % fr.P for x in public_inputs])
+    if isinstance(private_inputs, (np.ndarray, jnp.ndarray)):
+        # scale path: private inputs pre-converted to limbs
+        # (gnark.load_witness_limbs), no python-int loop over the witness
+        w_dev = jnp.concatenate(
+            [jnp.asarray(head), jnp.asarray(private_inputs)], axis=-1
+        )
+    else:
+        w_dev = jnp.asarray(
+            np.concatenate(
+                [head, fr.from_int([int(x) % fr.P for x in private_inputs])],
+                axis=-1,
+            )
+        )
+    n_wires = int(w_dev.shape[-1])
 
     with phase("prove.matvec"):
         coeffs_dev = gnark.coeffs_device(inst)
@@ -151,9 +165,9 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
             "witness does not satisfy the SR1CS relation"
         )
 
-    with phase("prove.msm_gm", n=len(assignment)):
+    with phase("prove.msm_gm", n=n_wires):
         g_m = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_M))
-        assert g_m.shape[-1] == len(assignment), (g_m.shape, len(assignment))
+        assert g_m.shape[-1] == n_wires, (g_m.shape, n_wires)
         msm_gm = xsk233.msm_limbs(w_dev, g_m)
 
     transcript = Transcript()
@@ -181,11 +195,12 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
 
     with phase("prove.challenge"):
         alpha = transcript.output()
-        dom2_ints = fr.to_int(dom2)
-        assert alpha not in dom_ints and alpha not in dom2_ints, (
-            "challenge in domain (prob ~2^-200)"
-        )
         alpha_dev = jnp.asarray(fr.from_int(alpha))
+        # alpha not in D u D' (reference asserts per element,
+        # src/proving.rs:548-556); device-side membership check
+        assert not bool(_jit_in_domain(dom, alpha_dev)) and not bool(
+            _jit_in_domain(dom2, alpha_dev)
+        ), "challenge in domain (prob ~2^-200)"
 
     with phase("prove.evaluate_at_alpha"):
         bar_wts = art.read_fr_vec(os.path.join(cache_dir, art.BAR_WTS))

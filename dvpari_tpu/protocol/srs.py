@@ -70,24 +70,13 @@ class Trapdoor:
 
 def _gen_mul_batch(scalars: jnp.ndarray) -> jnp.ndarray:
     """[s_i] G for a limb batch (20, n) -> points (3, 8, n), via the
-    tau-NAF fixed-base ladder (reference: xsk233_mulgen_frob fan-out,
-    src/srs.rs:131-159)."""
-    ints = fr.to_int(scalars)
-    if isinstance(ints, int):
-        ints = [ints]
-    return xsk233.scalar_mul_gen_ints(ints)
-
-
-from functools import partial
-
-
-@partial(jax.jit, static_argnames=("n_wires",))
-def _jit_wire_accumulate(coeffs_dev, lt_scaled, cids, rows, wires, n_wires):
-    terms = fr.mul(coeffs_dev[:, cids], lt_scaled[:, rows])
-    sums = jax.ops.segment_sum(
-        terms.T.astype(jnp.int32), wires, num_segments=n_wires
-    ).T
-    return fr.weak_normalize(sums)
+    tau-NAF fixed-base ladder with native bulk recoding
+    (reference: xsk233_mulgen_frob fan-out, src/srs.rs:131-159)."""
+    idx, sgn = xsk233.recode_limbs(scalars)
+    g = jnp.broadcast_to(
+        xsk233.generator().reshape(3, 8, 1), (3, 8, idx.shape[-1])
+    )
+    return xsk233.scalar_mul_frob_jit(idx, sgn, g)
 
 
 _jit_scale = jax.jit(fr.mul)
@@ -100,7 +89,8 @@ def accumulate_m_values(
     """m_j = sum_i L_i(tau) (A_ij + delta B_ij + delta^2 C_ij) per wire j.
 
     (reference: accumulate_m_values, src/srs.rs:53-84 - sequential there,
-    segment-sum by wire here.)
+    chunked segment-sum by wire here; exact for wires of any popularity,
+    e.g. the constant-one wire appearing in millions of rows.)
     """
     n_wires = (
         max(
@@ -119,13 +109,12 @@ def accumulate_m_values(
         if len(mat.wire_ids) == 0:
             continue
         rows = np.repeat(
-            np.arange(len(mat.indptr) - 1, dtype=np.int32),
+            np.arange(len(mat.indptr) - 1, dtype=np.int64),
             np.diff(mat.indptr).astype(np.int64),
         )
         lt = _jit_scale(l_tau, jnp.asarray(fr.from_int(sc)).reshape(fr.NLIMB, 1))
-        part = _jit_wire_accumulate(
-            coeffs_dev, lt, jnp.asarray(mat.coeff_ids), jnp.asarray(rows),
-            jnp.asarray(mat.wire_ids), n_wires,
+        part = gnark.sparse_accumulate(
+            coeffs_dev, lt, mat.coeff_ids, rows, mat.wire_ids, n_wires
         )
         total = _jit_add(total, part)
     return total
@@ -148,9 +137,27 @@ def verifier_runs_setup(
     validate_precompute: bool = True,
 ):
     """Full setup pipeline (reference: SRS::verifier_runs_setup,
-    src/srs.rs:177-361).  Returns the SRS point vectors (also cached)."""
+    src/srs.rs:177-361).  Returns the SRS point vectors (also cached).
+
+    is_fresh_setup=False expects the domain precomputes (trees, vanishing
+    polys, barycentric weights) to already be in cache_dir (downloaded,
+    as the reference distinguishes, src/srs.rs:177-182) and fails fast if
+    any is missing instead of silently recomputing."""
     os.makedirs(cache_dir, exist_ok=True)
     assert trapdoor.tau % fr.P and trapdoor.delta % fr.P and trapdoor.epsilon % fr.P
+    if not is_fresh_setup:
+        missing = [
+            name
+            for name in (art.Z_POLY, art.Z_POLYD, art.BAR_WTS, art.BAR_WTSD)
+            if not os.path.exists(os.path.join(cache_dir, name))
+        ] + [
+            name
+            for name in (art.TREE_2N, art.TREE_2ND)
+            if not art.fftree_exists(os.path.join(cache_dir, name))
+        ]
+        assert not missing, (
+            f"is_fresh_setup=False but precomputes missing from cache: {missing}"
+        )
 
     with open(os.path.join(cache_dir, art.R1CS_CONSTRAINTS_FILE), "rb") as f:
         inst = gnark.instance_from_dump(f.read(), num_public_inputs)
@@ -204,8 +211,7 @@ def verifier_runs_setup(
         z_vals2d_inv = z_inv(art.Z_VALS2D_INV, z_polyd, tree2n, 1)  # 1/Z_D' on D
 
     with phase("setup.vandermonde"):
-        dom_elems = fr.to_int(tree2n.leaves(1))
-        gnark.add_vandermonde_matrix(inst, dom_elems)
+        gnark.add_vandermonde_matrix(inst, tree2n.leaves(1))
 
     with phase("setup.lagrange_unified"):
         l_taul = pre.lagrange_basis_unified(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 import jax
@@ -51,7 +52,7 @@ class R1CSInstance:
     l: SparseMatrix
     r: SparseMatrix
     o: SparseMatrix
-    coeffs: list  # python ints (canonical Fr)
+    coeffs: np.ndarray  # Fr limbs int32[20, n_coeffs] (loose)
     has_vandermonde: bool = False
 
 
@@ -105,6 +106,28 @@ def load_witness(data: bytes) -> list:
     return out
 
 
+_jit_weak = jax.jit(fr.weak_normalize)
+_jit_strong = jax.jit(fr.strong_normalize)
+
+
+def _be32_to_loose_limbs(raw: np.ndarray) -> np.ndarray:
+    """(n, 32) big-endian records -> loose Fr limbs int32[20, n] (device
+    reduction, no python-int loops)."""
+    if len(raw) == 0:
+        return np.zeros((fr.NLIMB, 0), dtype=np.int32)
+    wide = fr.limbs_from_be_bytes(raw)
+    return np.asarray(jax.device_get(_jit_weak(jnp.asarray(wide))))
+
+
+def load_witness_limbs(data: bytes) -> np.ndarray:
+    """Vectorized witness loader: -> Fr limbs int32[20, count]
+    (scale path; load_witness keeps the python-int contract for small
+    inputs)."""
+    (count,) = struct.unpack_from(">I", data, 0)
+    raw = np.frombuffer(data, dtype=np.uint8, count=count * 32, offset=4)
+    return _be32_to_loose_limbs(raw.reshape(count, 32))
+
+
 def write_witness(values: list) -> bytes:
     out = bytearray(struct.pack(">I", len(values)))
     for v in values:
@@ -112,104 +135,211 @@ def write_witness(values: list) -> bytes:
     return bytes(out)
 
 
-def _to_csr(rows_of_terms: list, n_rows_padded: int) -> SparseMatrix:
+def _csr_from_counts(counts: np.ndarray, wires, cids, n_rows_padded: int) -> SparseMatrix:
     indptr = np.zeros(n_rows_padded + 1, dtype=np.int64)
-    wires, cids = [], []
-    for i, terms in enumerate(rows_of_terms):
-        terms = np.asarray(terms, dtype=np.uint32).reshape(-1, 2)
-        indptr[i + 1] = indptr[i] + len(terms)
-        if len(terms):
-            wires.append(terms[:, 0].astype(np.int32))
-            cids.append(terms[:, 1].astype(np.int32))
-    for i in range(len(rows_of_terms), n_rows_padded):
-        indptr[i + 1] = indptr[i]
-    wire_ids = np.concatenate(wires) if wires else np.zeros(0, np.int32)
-    coeff_ids = np.concatenate(cids) if cids else np.zeros(0, np.int32)
-    return SparseMatrix(indptr, wire_ids, coeff_ids)
+    np.cumsum(counts.astype(np.int64), out=indptr[1 : len(counts) + 1])
+    indptr[len(counts) + 1 :] = indptr[len(counts)]
+    return SparseMatrix(
+        indptr,
+        np.asarray(wires, dtype=np.int32),
+        np.asarray(cids, dtype=np.int32),
+    )
+
+
+def _parse_rows_numpy(data: bytes, rows_off: int):
+    """Pure-python fallback row parser (native r1cs_parse_rows is the
+    scale path); one cheap header read per row, one concatenate per
+    matrix at the end."""
+    (n_rows,) = struct.unpack_from("<I", data, rows_off)
+    off = rows_off + 4
+    counts = np.zeros((n_rows, 3), dtype=np.uint32)
+    spans = []
+    for i in range(n_rows):
+        nl, nr, no = struct.unpack_from("<III", data, off)
+        counts[i] = (nl, nr, no)
+        off += 12
+        spans.append(off)
+        off += 8 * (nl + nr + no)
+    all_terms = np.frombuffer(data, dtype="<u4")
+    mats = []
+    for k in range(3):
+        w_parts, c_parts = [], []
+        for i in range(n_rows):
+            base = spans[i] // 4 + 2 * int(counts[i, :k].sum())
+            t = all_terms[base : base + 2 * int(counts[i, k])]
+            w_parts.append(t[0::2])
+            c_parts.append(t[1::2])
+        mats.append(
+            (
+                np.concatenate(w_parts) if w_parts else np.zeros(0, np.uint32),
+                np.concatenate(c_parts) if c_parts else np.zeros(0, np.uint32),
+            )
+        )
+    return counts, mats
 
 
 def instance_from_dump(data: bytes, num_public_inputs: int) -> R1CSInstance:
-    """(reference: R1CSInstance::from_dump, src/gnark_r1cs.rs:282-296)"""
-    coeffs, rows = load_sparse_r1cs(data)
-    n_rows = len(rows)
+    """(reference: R1CSInstance::from_dump, src/gnark_r1cs.rs:282-296)
+
+    Fully vectorized: coefficients convert to Fr limbs on device in bulk,
+    rows parse through the native C++ backend when available (the
+    reference parallelizes this loop with rayon, src/gnark_r1cs.rs:144-179).
+    """
+    from dvpari_tpu import native
+
+    (n_coeffs,) = struct.unpack_from("<I", data, 0)
+    raw = np.frombuffer(data, dtype=np.uint8, count=32 * n_coeffs, offset=4)
+    coeff_limbs = _be32_to_loose_limbs(raw.reshape(n_coeffs, 32))
+    rows_off = 4 + 32 * n_coeffs
+
+    parsed = native.r1cs_parse_rows(data, rows_off)
+    if parsed is None:
+        parsed = _parse_rows_numpy(data, rows_off)
+    counts, mats = parsed
+    n_rows = len(counts)
     m = 1 if n_rows == 0 else 1 << (n_rows - 1).bit_length()
     return R1CSInstance(
         num_constraints=m,
         num_public_inputs=num_public_inputs,
         num_rows=n_rows,
-        l=_to_csr([t[0] for t in rows], m),
-        r=_to_csr([t[1] for t in rows], m),
-        o=_to_csr([t[2] for t in rows], m),
-        coeffs=list(coeffs),
+        l=_csr_from_counts(counts[:, 0], *mats[0], n_rows_padded=m),
+        r=_csr_from_counts(counts[:, 1], *mats[1], n_rows_padded=m),
+        o=_csr_from_counts(counts[:, 2], *mats[2], n_rows_padded=m),
+        coeffs=coeff_limbs,
     )
 
 
-def add_vandermonde_matrix(inst: R1CSInstance, dom_elems: list) -> None:
+@partial(jax.jit, static_argnames=("k",))
+def _jit_neg_powers(dom, k):
+    """-(d_i^j) for j = 1..k-1: int32[20, m, k-1] (i-major, j-minor when
+    flattened)."""
+    out = []
+    power = dom
+    for j in range(1, k):
+        out.append(fr.neg(power))
+        if j + 1 < k:
+            power = fr.mul(power, dom)
+    return jnp.stack(out, axis=-1)
+
+
+def add_vandermonde_matrix(inst: R1CSInstance, dom) -> None:
     """In-place C -> C' rewrite: C'w = Cw - Dx with D_ij = d_i^j.
 
-    Exact mirror of the reference's coefficient bookkeeping
+    Mirrors the reference's coefficient bookkeeping
     (reference: update_to_include_vandermode_matrix_d,
     src/gnark_r1cs.rs:333-386): the -1 coefficient is reused if present,
-    and each -d_i^j (j >= 1) is appended as a fresh coefficient.
+    and each -d_i^j (j >= 1) is appended as a fresh coefficient
+    (i-major, j-minor order, as there).  Fully vectorized: powers on
+    device, CSR splice via numpy scatter.
+
+    dom: domain elements as device limbs int32[20, m] (or a list of ints).
     """
     assert not inst.has_vandermonde
     m, k = inst.num_constraints, inst.num_public_inputs
-    assert len(dom_elems) == m
-    minus_one = (-1) % fr.P
-    try:
-        coeff_one_idx = inst.coeffs.index(minus_one)
-    except ValueError:
-        inst.coeffs.append(minus_one)
-        coeff_one_idx = len(inst.coeffs) - 1
+    if isinstance(dom, (list, tuple)):
+        dom = jnp.asarray(fr.from_int(dom))
+    assert dom.shape[-1] == m
 
-    new_wires = []
-    new_cids = []
-    for d in dom_elems:
-        power = d % fr.P
-        for j in range(k):
-            if j == 0:
-                cid = coeff_one_idx
-            else:
-                inst.coeffs.append((-power) % fr.P)
-                cid = len(inst.coeffs) - 1
-                power = power * d % fr.P
-            new_wires.append(1 + j)
-            new_cids.append(cid)
+    minus_one = fr.from_int(fr.P - 1)  # canonical limbs (20,)
+    canon = np.asarray(jax.device_get(_jit_strong(jnp.asarray(inst.coeffs))))
+    hits = np.nonzero((canon == minus_one[:, None]).all(axis=0))[0]
+    coeffs = inst.coeffs
+    if len(hits):
+        coeff_one_idx = int(hits[0])
+    else:
+        coeffs = np.concatenate([coeffs, minus_one[:, None]], axis=1)
+        coeff_one_idx = coeffs.shape[1] - 1
+    base = coeffs.shape[1]
 
-    # splice the k new terms per row into the O matrix CSR
+    new_cids = np.empty((m, k), dtype=np.int64)
+    new_cids[:, 0] = coeff_one_idx
+    if k > 1:
+        negpow = np.asarray(jax.device_get(_jit_neg_powers(dom, k)))
+        coeffs = np.concatenate(
+            [coeffs, negpow.reshape(fr.NLIMB, m * (k - 1))], axis=1
+        )
+        new_cids[:, 1:] = base + (
+            np.arange(m)[:, None] * (k - 1) + np.arange(k - 1)[None, :]
+        )
+    new_wires = np.broadcast_to(np.arange(1, k + 1, dtype=np.int64), (m, k))
+
+    # splice the k new terms per row into the O matrix CSR (vectorized)
     o = inst.o
-    wire_ids = np.empty(len(o.wire_ids) + m * k, dtype=np.int32)
+    nnz_old = len(o.wire_ids)
+    counts_old = np.diff(o.indptr).astype(np.int64)
+    wire_ids = np.empty(nnz_old + m * k, dtype=np.int32)
     coeff_ids = np.empty_like(wire_ids)
-    indptr = np.zeros_like(o.indptr)
-    pos = 0
-    for i in range(m):
-        s, e = int(o.indptr[i]), int(o.indptr[i + 1])
-        row_len = e - s
-        wire_ids[pos : pos + row_len] = o.wire_ids[s:e]
-        coeff_ids[pos : pos + row_len] = o.coeff_ids[s:e]
-        pos += row_len
-        wire_ids[pos : pos + k] = new_wires[i * k : (i + 1) * k]
-        coeff_ids[pos : pos + k] = new_cids[i * k : (i + 1) * k]
-        pos += k
-        indptr[i + 1] = pos
+    row_of_old = np.repeat(np.arange(m, dtype=np.int64), counts_old)
+    dest_old = np.arange(nnz_old, dtype=np.int64) + row_of_old * k
+    wire_ids[dest_old] = o.wire_ids
+    coeff_ids[dest_old] = o.coeff_ids
+    dest_new = (o.indptr[1:].astype(np.int64) + np.arange(m) * k)[:, None] + np.arange(k)[None, :]
+    wire_ids[dest_new.ravel()] = new_wires.ravel()
+    coeff_ids[dest_new.ravel()] = new_cids.ravel()
+    indptr = np.concatenate([[0], np.cumsum(counts_old + k)]).astype(np.int64)
     inst.o = SparseMatrix(indptr, wire_ids, coeff_ids)
+    inst.coeffs = coeffs
     inst.has_vandermonde = True
 
 
 def coeffs_device(inst: R1CSInstance) -> jnp.ndarray:
-    return jnp.asarray(fr.from_int(inst.coeffs))
+    return jnp.asarray(inst.coeffs)
 
 
-from functools import partial
+# Raw int32 limb accumulation of weak-normalized products (|limb| <= 8300)
+# is exact while a segment receives < 2^31 / 8300 ~ 258k terms in one pass;
+# chunking the term axis at _SEG_CHUNK and re-normalizing between chunks
+# makes the accumulation exact for ANY segment length (the reference's
+# sequential loops have no such limit, src/proving.rs:382-396,
+# src/srs.rs:53-84 - neither must we).
+_SEG_CHUNK = 1 << 17  # 131072 * 8300 < 2^31 with 2x margin
+
+_jit_add = jax.jit(fr.add)
 
 
-@partial(jax.jit, static_argnames=("n_rows",))
-def _eval_csr_jit(coeffs_dev, witness_dev, wires, cids, seg, n_rows):
-    terms = fr.mul(coeffs_dev[:, cids], witness_dev[:, wires])  # (20, nnz)
+@partial(jax.jit, static_argnames=("n_seg",))
+def _seg_chunk_jit(coeffs_dev, vec_dev, cids, gids, seg, n_seg):
+    terms = fr.mul(coeffs_dev[:, cids], vec_dev[:, gids])  # (20, chunk)
+    # num_segments = n_seg + 1: padded tail terms target dummy segment n_seg
     sums = jax.ops.segment_sum(
-        terms.T.astype(jnp.int32), seg, num_segments=n_rows
+        terms.T.astype(jnp.int32), seg, num_segments=n_seg + 1
     ).T
-    return fr.weak_normalize(sums)
+    return fr.weak_normalize(sums[:, :n_seg])
+
+
+def sparse_accumulate(
+    coeffs_dev: jnp.ndarray,
+    vec_dev: jnp.ndarray,
+    coeff_ids: np.ndarray,
+    gather_ids: np.ndarray,
+    seg_ids: np.ndarray,
+    n_seg: int,
+) -> jnp.ndarray:
+    """out[s] = sum over terms t with seg_ids[t]==s of
+    coeffs[coeff_ids[t]] * vec[gather_ids[t]]  -- exact for any segment
+    length (chunked int32 limb accumulation, see _SEG_CHUNK)."""
+    nnz = len(coeff_ids)
+    if nnz == 0:
+        return fr.zeros((n_seg,))
+    if nnz <= _SEG_CHUNK:
+        return _seg_chunk_jit(
+            coeffs_dev, vec_dev, jnp.asarray(coeff_ids),
+            jnp.asarray(gather_ids), jnp.asarray(seg_ids), n_seg,
+        )
+    pad = (-nnz) % _SEG_CHUNK
+    cid = np.concatenate([coeff_ids, np.zeros(pad, np.int32)]).astype(np.int32)
+    gid = np.concatenate([gather_ids, np.zeros(pad, np.int32)]).astype(np.int32)
+    seg = np.concatenate([seg_ids, np.full(pad, n_seg)]).astype(np.int64)
+    total = None
+    for s in range(0, nnz + pad, _SEG_CHUNK):
+        part = _seg_chunk_jit(
+            coeffs_dev, vec_dev,
+            jnp.asarray(cid[s : s + _SEG_CHUNK]),
+            jnp.asarray(gid[s : s + _SEG_CHUNK]),
+            jnp.asarray(seg[s : s + _SEG_CHUNK]), n_seg,
+        )
+        total = part if total is None else _jit_add(total, part)
+    return total
 
 
 def eval_matrix(
@@ -217,23 +347,18 @@ def eval_matrix(
 ) -> jnp.ndarray:
     """Batched sparse mat-vec: out[i] = sum_terms coeff * w[wire].
 
-    Gather + segment-sum over limb planes; raw int32 limb accumulation is
-    exact for rows shorter than ~250k terms.
+    Gather + segment-sum over limb planes, chunked so int32 limb
+    accumulation is exact for rows of any length.
     (reference: eval_row loop, src/proving.rs:382-396)
     """
     n_rows = len(mat.indptr) - 1
     if len(mat.wire_ids) == 0:
         return fr.zeros((n_rows,))
     seg_ids = np.repeat(
-        np.arange(n_rows, dtype=np.int32), np.diff(mat.indptr).astype(np.int64)
+        np.arange(n_rows, dtype=np.int64), np.diff(mat.indptr).astype(np.int64)
     )
-    return _eval_csr_jit(
-        coeffs_dev,
-        witness_dev,
-        jnp.asarray(mat.wire_ids),
-        jnp.asarray(mat.coeff_ids),
-        jnp.asarray(seg_ids),
-        n_rows,
+    return sparse_accumulate(
+        coeffs_dev, witness_dev, mat.coeff_ids, mat.wire_ids, seg_ids, n_rows
     )
 
 

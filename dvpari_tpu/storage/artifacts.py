@@ -40,6 +40,10 @@ SRS_G_K_1 = "g_k_1"
 SRS_G_K_2 = "g_k_2"
 TREE_2N = "tree2n"
 TREE_2ND = "tree2nd"
+# The reference caches separate m-leaf subtrees (TREE_N/TREE_ND,
+# src/artifacts.rs:28-42); here subtrees are O(1) stride views of the 2m
+# trees (fftree/tree.py subtree_with_size), so no artifact is written.
+# Names kept for registry parity with downloaded reference caches.
 TREE_N = "treen"
 TREE_ND = "treend"
 Z_POLY = "z_poly"
@@ -57,14 +61,22 @@ PT_RECORD = 30
 
 # --- Fr vectors ------------------------------------------------------------
 
+_jit_strong = jax.jit(fr.strong_normalize)
+
+
 def write_fr_vec(path: str, values: jnp.ndarray) -> None:
-    """values: device limbs (20, n) -> u64 count + 29B LE records."""
-    ints = fr.to_int(values)
-    if isinstance(ints, int):
-        ints = [ints]
+    """values: device limbs (20, n) -> u64 count + 29B LE records.
+
+    Vectorized: device canonicalization + bit-packing, no python-int
+    loops (the reference parallel-serializes with rayon,
+    src/io_utils.rs:42-111)."""
+    canon = np.asarray(jax.device_get(_jit_strong(jnp.asarray(values))))
+    if canon.ndim == 1:
+        canon = canon[:, None]
+    recs = fr.limbs_to_le_bytes(canon, FR_RECORD)
     with open(path, "wb") as f:
-        f.write(struct.pack("<Q", len(ints)))
-        f.write(b"".join(int(v).to_bytes(FR_RECORD, "little") for v in ints))
+        f.write(struct.pack("<Q", recs.shape[0]))
+        f.write(recs.tobytes())
 
 
 def read_fr_vec(path: str) -> jnp.ndarray:

@@ -58,6 +58,39 @@ def test_vandermonde_rewrite():
         assert (c_before[i] - i_val) % fr.P == c_after[i]
 
 
+def test_sparse_accumulate_long_segment_exact():
+    # overflow regression: a single segment with >258k terms used to
+    # overflow raw int32 limb accumulation silently (ADVICE r1: srs.py
+    # medium); the chunked path must stay exact for any segment length
+    rng = np.random.default_rng(11)
+    n_terms = 300_000
+    n_c, n_v = 8, 4
+    pyrng = random.Random(11)
+    coeff_ints = [pyrng.randrange(fr.P) for _ in range(n_c)]
+    vec_ints = [pyrng.randrange(fr.P) for _ in range(n_v)]
+    cids = rng.integers(0, n_c, n_terms).astype(np.int32)
+    gids = rng.integers(0, n_v, n_terms).astype(np.int32)
+    segs = np.zeros(n_terms, dtype=np.int64)
+    segs[-50:] = 1  # a second, short segment
+    out = gnark.sparse_accumulate(
+        jnp.asarray(fr.from_int(coeff_ints)),
+        jnp.asarray(fr.from_int(vec_ints)),
+        cids, gids, segs, 2,
+    )
+    got = fr.to_int(out)
+    for s in range(2):
+        mask = segs == s
+        counts = np.bincount(
+            cids[mask] * n_v + gids[mask], minlength=n_c * n_v
+        )
+        expect = sum(
+            int(counts[i * n_v + j]) * coeff_ints[i] * vec_ints[j]
+            for i in range(n_c)
+            for j in range(n_v)
+        ) % fr.P
+        assert got[s] == expect, f"segment {s}"
+
+
 def test_sp1_public_input_scalar():
     # 224-bit truncation property (reference: src/gnark_r1cs.rs:214-229)
     v = gnark.sp1_generate_scalar_from_raw_public_input(0x59_00000037)

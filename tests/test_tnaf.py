@@ -38,6 +38,24 @@ def test_tnaf_reconstructs_scalar_mul():
         assert acc == host.smul(k, G)
 
 
+def test_native_bulk_recode_matches_python():
+    # the C++ bulk recoder (dv_tnaf_recode_bulk) must agree with the
+    # pure-python partmod + tau-NAF + window path on random scalars
+    from dvpari_tpu.ops import fr
+
+    rng = random.Random(7)
+    ks = [0, 1, 2, host.R - 1, host.R] + [
+        rng.randrange(host.R) for _ in range(64)
+    ]
+    limbs = fr.from_int(ks)
+    idx_b, sgn_b = tnaf.recode_scalars_bulk(limbs)
+    idx_p, sgn_p = tnaf.recode_scalars(ks)
+    assert (idx_b == idx_p).all()
+    # sign only matters where the window is nonzero
+    nz = idx_p != 0
+    assert (sgn_b[nz] == sgn_p[nz]).all()
+
+
 def test_recode_window_codes():
     idx, sgn = tnaf.recode_scalars([0, 1, host.R])
     assert idx.shape == (tnaf.N_WINDOWS, 3)
