@@ -372,14 +372,37 @@ def recode_limbs(scalars: jnp.ndarray) -> "tuple[jnp.ndarray, jnp.ndarray]":
     return jnp.asarray(idx), jnp.asarray(sgn)
 
 
-def msm_limbs(scalars: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+def msm_limbs(scalars: jnp.ndarray, points: jnp.ndarray, mesh=None) -> jnp.ndarray:
     """MSM over device Fr limb scalars via the tau-NAF fast path.
 
     Recoding runs in the native C++ backend (bulk, OpenMP), mirroring the
     split in the reference where recoding lives inside the C library
-    (reference: src/curve.rs:113-137)."""
+    (reference: src/curve.rs:113-137).  With a mesh, points and window
+    codes are sharded over the devices and the per-shard partials fold
+    over ICI (the reference's rayon map+reduce, src/curve.rs:141-158,
+    spread over chips instead of threads)."""
     idx, sgn = recode_limbs(scalars)
-    return msm_frob_jit(idx, sgn, points)
+    if mesh is None:
+        return msm_frob_jit(idx, sgn, points)
+    from dvpari_tpu.parallel.sharded import msm_frob_sharded
+
+    ndev = mesh.devices.size
+    n = idx.shape[-1]
+    pad = (-n) % ndev
+    if pad:
+        from dvpari_tpu.ops.tnaf import N_WINDOWS
+
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((N_WINDOWS, pad), idx.dtype)], axis=-1
+        )
+        sgn = jnp.concatenate(
+            [sgn, jnp.ones((N_WINDOWS, pad), sgn.dtype)], axis=-1
+        )
+        inf = jnp.broadcast_to(
+            infinity().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, pad)
+        )
+        points = jnp.concatenate([points, inf], axis=-1)
+    return msm_frob_sharded(idx, sgn, points, mesh)
 
 
 def scalar_mul_gen_ints(ks) -> jnp.ndarray:

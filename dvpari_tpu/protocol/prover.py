@@ -122,8 +122,20 @@ _jit_in_domain = jax.jit(
 )
 
 
-def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]") -> Proof:
-    """(reference: Proof::prove, src/proving.rs:426-688)"""
+def prove(
+    cache_dir: str,
+    public_inputs: "list[int]",
+    private_inputs: "list[int]",
+    mesh=None,
+) -> Proof:
+    """(reference: Proof::prove, src/proving.rs:426-688)
+
+    With a mesh, the production pipeline itself runs sharded: the three
+    MSMs shard their points/window codes across devices (partials fold
+    over ICI) and the four ECFFT extends plus the elementwise stages run
+    on domain-sharded vectors, with GSPMD inserting the cross-shard
+    butterfly collectives.  Proof bytes are identical either way (the
+    sharded fold is the same pairwise tree)."""
     with phase("prove.load_tree"):
         z_poly = art.read_fr_vec(os.path.join(cache_dir, art.Z_POLY))
         m = z_poly.shape[-1] - 1
@@ -159,16 +171,30 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
         b_vals = gnark.eval_matrix(inst.r, coeffs_dev, w_dev)
         c_vals = gnark.eval_matrix(inst.o, coeffs_dev, w_dev)
         i_vals = _monomial_evals_over_domain(public_inputs, dom)
-        # witness satisfaction: a*b == c + i on D (reference asserts per row,
-        # src/proving.rs:388-395)
-        assert bool(_jit_sat_check(a_vals, b_vals, c_vals, i_vals)), (
-            "witness does not satisfy the SR1CS relation"
+
+    if mesh is not None and m % mesh.devices.size == 0:
+        # domain-shard the evaluation vectors: every downstream stage
+        # (extend, quotient, barycentric, k-scalars) then runs sharded
+        # under GSPMD
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dvpari_tpu.parallel.mesh import SHARD_AXIS
+
+        shard_vec = NamedSharding(mesh, P(None, SHARD_AXIS))
+        a_vals, b_vals, c_vals, i_vals = (
+            jax.device_put(v, shard_vec)
+            for v in (a_vals, b_vals, c_vals, i_vals)
         )
+
+    # witness satisfaction: a*b == c + i on D (reference asserts per row,
+    # src/proving.rs:388-395)
+    assert bool(_jit_sat_check(a_vals, b_vals, c_vals, i_vals)), (
+        "witness does not satisfy the SR1CS relation"
+    )
 
     with phase("prove.msm_gm", n=n_wires):
         g_m = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_M))
         assert g_m.shape[-1] == n_wires, (g_m.shape, n_wires)
-        msm_gm = xsk233.msm_limbs(w_dev, g_m)
+        msm_gm = xsk233.msm_limbs(w_dev, g_m, mesh=mesh)
 
     transcript = Transcript()
     transcript.circuit_info_hash(inst)
@@ -186,7 +212,7 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
 
     with phase("prove.msm_gq", n=m):
         g_q = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_Q))
-        msm_q = xsk233.msm_limbs(q2, g_q)
+        msm_q = xsk233.msm_limbs(q2, g_q, mesh=mesh)
 
     commit_p = _jit_point_add(msm_q, msm_gm)
     commit_p_bytes = host.encode(xsk233.to_affine_int(commit_p))
@@ -219,7 +245,7 @@ def prove(cache_dir: str, public_inputs: "list[int]", private_inputs: "list[int]
             for name in (art.SRS_G_K_0, art.SRS_G_K_1, art.SRS_G_K_2)
         ]
         g_k_all = jnp.concatenate(srs_g_k, axis=-1)
-        kzg_k = xsk233.msm_limbs(s_k_all, g_k_all)
+        kzg_k = xsk233.msm_limbs(s_k_all, g_k_all, mesh=mesh)
 
     return Proof(
         commit_p=commit_p_bytes,
