@@ -73,6 +73,9 @@ def load() -> "ctypes.CDLL | None":
         lib.dv_pt_encode_bulk.argtypes = [u64p, u8p, ctypes.c_int64, u8p]
         lib.dv_tnaf_recode_bulk.argtypes = [u8p, ctypes.c_int64, i8p, i8p]
         lib.dv_tnaf_recode_bulk.restype = ctypes.c_int64
+        u32p_ = ctypes.POINTER(ctypes.c_uint32)
+        lib.dv_tnaf_recode_masks.argtypes = [u8p, ctypes.c_int64, u32p_, u32p_]
+        lib.dv_tnaf_recode_masks.restype = ctypes.c_int64
         i64p = ctypes.POINTER(ctypes.c_int64)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.dv_r1cs_meta.argtypes = [

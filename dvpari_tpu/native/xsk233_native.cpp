@@ -654,4 +654,35 @@ int64_t dv_tnaf_recode_bulk(const uint8_t *scalars, int64_t n,
   return bad;
 }
 
+// Recode directly to the bit-sliced ladder's operand layout: one-hot
+// digit masks uint32[62][11][n/32] and negative-sign masks
+// uint32[62][n/32] (bit j of group g = scalar 32 g + j).  Feeds
+// ops/pallas_msm.py without the numpy packbits round trip.
+// n must be a multiple of 32; zero-padded scalars recode to digit 0
+// (= infinity table entry), which the complete add ignores.
+int64_t dv_tnaf_recode_masks(const uint8_t *scalars, int64_t n,
+                             uint32_t *onehot_out, uint32_t *neg_out) {
+  const int64_t groups = n / 32;
+  std::memset(onehot_out, 0, sizeof(uint32_t) * 62 * 11 * groups);
+  std::memset(neg_out, 0, sizeof(uint32_t) * 62 * groups);
+  int64_t bad = 0;
+#pragma omp parallel for reduction(+ : bad) schedule(static)
+  for (int64_t g = 0; g < groups; g++) {
+    int8_t idx[62], sgn[62];
+    for (int j = 0; j < 32; j++) {
+      const int64_t i = 32 * g + j;
+      if (tnaf::recode_one(scalars + 32 * i, idx, sgn)) {
+        bad++;
+        continue;
+      }
+      const uint32_t bit = uint32_t(1) << j;
+      for (int w = 0; w < 62; w++) {
+        onehot_out[(int64_t(w) * 11 + idx[w]) * groups + g] |= bit;
+        if (sgn[w] < 0) neg_out[int64_t(w) * groups + g] |= bit;
+      }
+    }
+  }
+  return bad;
+}
+
 }  // extern "C"

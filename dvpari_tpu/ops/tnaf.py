@@ -172,6 +172,48 @@ def recode_scalars_bulk(limbs_canonical) -> "tuple[np.ndarray, np.ndarray]":
     return idx8.T.astype(np.int32), sgn8.T.astype(np.int32)
 
 
+def recode_masks_bulk(limbs_canonical) -> "tuple[np.ndarray, np.ndarray]":
+    """Canonical Fr limbs -> bit-sliced ladder operands directly:
+    (one-hot digit masks uint32[N_WINDOWS, 11, ceil32(n)], negative
+    masks uint32[N_WINDOWS, ceil32(n)]).  Pads n to a multiple of 32
+    with zero scalars (digit 0 = infinity entry).  Native fast path;
+    falls back to recode + numpy packbits."""
+    import ctypes
+
+    from dvpari_tpu import native
+
+    arr = np.asarray(limbs_canonical)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[1]
+    npad = -n % 32
+    lib = native.load()
+    if lib is None or not hasattr(lib, "dv_tnaf_recode_masks"):
+        from dvpari_tpu.ops.xsk233_bs import digit_masks
+
+        idx, sgn = recode_scalars_bulk(arr)
+        if npad:
+            idx = np.concatenate(
+                [idx, np.zeros((N_WINDOWS, npad), idx.dtype)], axis=-1
+            )
+            sgn = np.concatenate(
+                [sgn, np.ones((N_WINDOWS, npad), sgn.dtype)], axis=-1
+            )
+        return digit_masks(idx, sgn)
+    recs = np.zeros((n + npad, 32), dtype=np.uint8)
+    recs[:n] = canonical_limbs_to_le32(arr)
+    groups = (n + npad) // 32
+    oh = np.empty((N_WINDOWS, TABLE_SIZE, groups), dtype=np.uint32)
+    ng = np.empty((N_WINDOWS, groups), dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    bad = lib.dv_tnaf_recode_masks(
+        native._u8p(recs), n + npad,
+        oh.ctypes.data_as(u32p), ng.ctypes.data_as(u32p),
+    )
+    assert bad == 0, f"{bad} scalars failed tau-NAF recoding"
+    return oh, ng
+
+
 def recode_scalars(ks) -> "tuple[np.ndarray, np.ndarray]":
     """Scalars -> (table indices int32[N_WINDOWS, n], signs int32[N_WINDOWS, n]).
 

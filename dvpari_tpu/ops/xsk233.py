@@ -372,15 +372,61 @@ def recode_limbs(scalars: jnp.ndarray) -> "tuple[jnp.ndarray, jnp.ndarray]":
     return jnp.asarray(idx), jnp.asarray(sgn)
 
 
-def msm_limbs(scalars: jnp.ndarray, points: jnp.ndarray, mesh=None) -> jnp.ndarray:
+# Minimum size for the bit-sliced fused-ladder path (one Pallas tile =
+# 4096 points); smaller MSMs stay on the word-sliced lane ladder.
+_BS_MIN_N = 4096
+
+
+def _msm_limbs_bitsliced(
+    scalars: jnp.ndarray, points: jnp.ndarray, planes=None
+) -> jnp.ndarray:
+    """Bit-sliced Pallas MSM: native recode-to-masks + plane packing +
+    fused on-chip ladder (ops/pallas_msm.py).  ~9x the word-sliced
+    device throughput at 2^14.  `planes` (value or zero-arg callable)
+    supplies a pre-packed bit-plane layout, e.g. the .planes.npz SRS
+    sidecar (storage/artifacts.py:read_point_vec_planes)."""
+    global _strongnorm_jit
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import xsk233_bs as bs
+    from dvpari_tpu.ops import pallas_msm
+    from dvpari_tpu.ops.tnaf import recode_masks_bulk
+
+    if _strongnorm_jit is None:
+        _strongnorm_jit = jax.jit(fr.strong_normalize)
+    canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
+    oh, ng = recode_masks_bulk(canon)
+    if callable(planes):
+        planes = planes()
+    if planes is None:
+        planes = bs.pack_points(np.asarray(jax.device_get(points)))
+    res = pallas_msm.msm_packed(
+        jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes)
+    )
+    return jnp.asarray(bs.extract_point(res, 0))
+
+
+def msm_limbs(
+    scalars: jnp.ndarray, points: jnp.ndarray, mesh=None, planes=None
+) -> jnp.ndarray:
     """MSM over device Fr limb scalars via the tau-NAF fast path.
 
     Recoding runs in the native C++ backend (bulk, OpenMP), mirroring the
     split in the reference where recoding lives inside the C library
-    (reference: src/curve.rs:113-137).  With a mesh, points and window
+    (reference: src/curve.rs:113-137).  Large single-chip MSMs dispatch
+    to the bit-sliced fused Pallas ladder; with a mesh, points and window
     codes are sharded over the devices and the per-shard partials fold
     over ICI (the reference's rayon map+reduce, src/curve.rs:141-158,
     spread over chips instead of threads)."""
+    import os
+
+    impl = os.environ.get("DVPARI_MSM_IMPL", "auto")
+    if (
+        mesh is None
+        and impl in ("auto", "bs")
+        and (impl == "bs" or points.shape[-1] >= _BS_MIN_N)
+        and jax.default_backend() != "cpu"
+    ):
+        return _msm_limbs_bitsliced(scalars, points, planes)
     idx, sgn = recode_limbs(scalars)
     if mesh is None:
         return msm_frob_jit(idx, sgn, points)
@@ -412,6 +458,72 @@ def scalar_mul_gen_ints(ks) -> jnp.ndarray:
     g = jnp.broadcast_to(
         generator().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, idx.shape[-1])
     )
+    return scalar_mul_frob_jit(idx, sgn, g)
+
+
+_gen_table_planes_cache = None
+_tnaf_table_jit = None
+
+
+def _gen_table_planes() -> np.ndarray:
+    """G's tau-NAF window table in bit-plane layout, uint32[11, 3, 233, 1]
+    with G's bits replicated into all 32 slots of the single column --
+    the compile-time-constant table of the fixed-base ladder (the
+    precomputed-table role of the reference's xsk233_mulgen_frob,
+    src/curve.rs:129-137)."""
+    global _gen_table_planes_cache, _tnaf_table_jit
+    if _gen_table_planes_cache is None:
+        from dvpari_tpu.ops import xsk233_bs as bs
+
+        if _tnaf_table_jit is None:
+            _tnaf_table_jit = jax.jit(_tnaf_table)
+        g = generator().reshape(3, gf2.NWORD, 1)
+        tab = np.asarray(jax.device_get(_tnaf_table_jit(g)))  # (11, 3, 8, 1)
+        _gen_table_planes_cache = np.stack(
+            [
+                bs.pack_points(np.broadcast_to(tab[e], (3, gf2.NWORD, 32)))
+                for e in range(tab.shape[0])
+            ],
+            axis=0,
+        )
+    return _gen_table_planes_cache
+
+
+def mulgen_limbs(scalars: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-base batch scalar-mul [s_i]G over device Fr limb scalars,
+    returning word-layout points (3, 8, n).
+
+    This is the reference's hottest setup loop (~5m sequential
+    xsk233_mulgen_frob calls, src/srs.rs:131-159): here the scalars are
+    bulk-recoded to digit masks natively and the bit-sliced ladder runs
+    them 32-per-uint32 against G's constant window table -- large
+    batches take the fused Pallas ladder on TPU, small ones (and CPU
+    tests) the word-sliced lane ladder."""
+    import os
+
+    n = int(scalars.shape[-1])
+    impl = os.environ.get("DVPARI_MSM_IMPL", "auto")
+    if (
+        impl in ("auto", "bs")
+        and (impl == "bs" or n >= _BS_MIN_N)
+        and jax.default_backend() != "cpu"
+    ):
+        global _strongnorm_jit
+        from dvpari_tpu.ops import fr
+        from dvpari_tpu.ops import pallas_msm
+        from dvpari_tpu.ops import xsk233_bs as bs
+        from dvpari_tpu.ops.tnaf import recode_masks_bulk
+
+        if _strongnorm_jit is None:
+            _strongnorm_jit = jax.jit(fr.strong_normalize)
+        canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
+        oh, ng = recode_masks_bulk(canon)
+        planes = pallas_msm.mulgen_packed(
+            jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(_gen_table_planes())
+        )
+        return jnp.asarray(bs.unpack_points(planes)[..., :n])
+    idx, sgn = recode_limbs(scalars)
+    g = jnp.broadcast_to(generator().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, n))
     return scalar_mul_frob_jit(idx, sgn, g)
 
 

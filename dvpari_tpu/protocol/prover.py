@@ -192,9 +192,13 @@ def prove(
     )
 
     with phase("prove.msm_gm", n=n_wires):
-        g_m = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_M))
+        gm_path = os.path.join(cache_dir, art.SRS_G_M)
+        g_m = art.read_point_vec(gm_path)
         assert g_m.shape[-1] == n_wires, (g_m.shape, n_wires)
-        msm_gm = xsk233.msm_limbs(w_dev, g_m, mesh=mesh)
+        msm_gm = xsk233.msm_limbs(
+            w_dev, g_m, mesh=mesh,
+            planes=lambda: art.read_point_vec_planes(gm_path),
+        )
 
     transcript = Transcript()
     transcript.circuit_info_hash(inst)
@@ -211,8 +215,12 @@ def prove(
         r2, q2 = _jit_quotient(a2, b2, i2, c2, z2inv)
 
     with phase("prove.msm_gq", n=m):
-        g_q = art.read_point_vec(os.path.join(cache_dir, art.SRS_G_Q))
-        msm_q = xsk233.msm_limbs(q2, g_q, mesh=mesh)
+        gq_path = os.path.join(cache_dir, art.SRS_G_Q)
+        g_q = art.read_point_vec(gq_path)
+        msm_q = xsk233.msm_limbs(
+            q2, g_q, mesh=mesh,
+            planes=lambda: art.read_point_vec_planes(gq_path),
+        )
 
     commit_p = _jit_point_add(msm_q, msm_gm)
     commit_p_bytes = host.encode(xsk233.to_affine_int(commit_p))
@@ -240,12 +248,29 @@ def prove(
         )
 
     with phase("prove.msm_gk", n=4 * m):
-        srs_g_k = [
-            art.read_point_vec(os.path.join(cache_dir, name))
+        gk_paths = [
+            os.path.join(cache_dir, name)
             for name in (art.SRS_G_K_0, art.SRS_G_K_1, art.SRS_G_K_2)
         ]
-        g_k_all = jnp.concatenate(srs_g_k, axis=-1)
-        kzg_k = xsk233.msm_limbs(s_k_all, g_k_all, mesh=mesh)
+        g_k_all = jnp.concatenate(
+            [art.read_point_vec(p) for p in gk_paths], axis=-1
+        )
+        # the three g_k segments are 2m/m/m long: concatenated planes
+        # stay slot-aligned because each segment is a multiple of 32
+        # at production sizes; fall back to fresh packing otherwise
+        def _gk_planes():
+            import numpy as _np
+
+            segs = [art.read_point_vec(p) for p in gk_paths]
+            if all(int(s.shape[-1]) % 32 == 0 for s in segs):
+                return _np.concatenate(
+                    [art.read_point_vec_planes(p) for p in gk_paths], axis=-1
+                )
+            return None
+
+        kzg_k = xsk233.msm_limbs(
+            s_k_all, g_k_all, mesh=mesh, planes=_gk_planes
+        )
 
     return Proof(
         commit_p=commit_p_bytes,

@@ -70,13 +70,10 @@ class Trapdoor:
 
 def _gen_mul_batch(scalars: jnp.ndarray) -> jnp.ndarray:
     """[s_i] G for a limb batch (20, n) -> points (3, 8, n), via the
-    tau-NAF fixed-base ladder with native bulk recoding
-    (reference: xsk233_mulgen_frob fan-out, src/srs.rs:131-159)."""
-    idx, sgn = xsk233.recode_limbs(scalars)
-    g = jnp.broadcast_to(
-        xsk233.generator().reshape(3, 8, 1), (3, 8, idx.shape[-1])
-    )
-    return xsk233.scalar_mul_frob_jit(idx, sgn, g)
+    fixed-base tau-NAF ladder with native bulk recoding: large batches
+    run bit-sliced against G's constant window table on the fused Pallas
+    ladder (reference: xsk233_mulgen_frob fan-out, src/srs.rs:131-159)."""
+    return xsk233.mulgen_limbs(scalars)
 
 
 _jit_scale = jax.jit(fr.mul)

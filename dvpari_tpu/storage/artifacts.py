@@ -183,6 +183,22 @@ def _write_point_sidecar(path: str, affine: list) -> None:
     np.savez(path + ".fast.npz", X=X, Y=Y, Z=Z)
 
 
+def read_point_vec_planes(path: str) -> np.ndarray:
+    """Bit-sliced plane packing (3, 233, ceil32(n)) of the point vector,
+    cached as a .planes.npz sidecar: the fused-ladder MSM consumes
+    planes directly, and packing millions of SRS points on every prove
+    would otherwise dominate the host-side cost."""
+    pp = path + ".planes.npz"
+    if os.path.exists(pp):
+        return np.load(pp)["P"]
+    from dvpari_tpu.ops import xsk233_bs as bs
+
+    pts = np.asarray(jax.device_get(read_point_vec(path)))
+    planes = bs.pack_points(pts)
+    np.savez(pp, P=planes)
+    return planes
+
+
 def read_point_vec(path: str, validate: bool = False) -> jnp.ndarray:
     """Returns (3, 8, n) projective batch.  Prefers the sidecar; falls
     back to decoding the 30-byte records (with validity checks, mirroring
