@@ -44,6 +44,13 @@ from dvpari_tpu.fftree import aux_curve
 from dvpari_tpu.fftree.polyops import polymul, vanishing_poly_coeffs
 
 
+# Largest domain whose vanishing-poly product tree runs on the host
+# (python ints).  Above this the level-synchronous device Karatsuba
+# (fftree/polyops.py:_polymul_eq) takes over; tests shrink it to
+# exercise the device path cheaply.
+HOST_ZC_MAX = 4096
+
+
 def _log2(n: int) -> int:
     assert n & (n - 1) == 0
     return n.bit_length() - 1
@@ -209,7 +216,7 @@ class FFTree:
         """
         if d not in self._zc_cache:
             n_d = self.n >> d
-            if n_d <= 4096:
+            if n_d <= HOST_ZC_MAX:
                 self._zc_cache[d] = jnp.asarray(
                     fr.from_int(_host_vanishing_coeffs(fr.to_int(self.leaves(d))))
                 )

@@ -118,3 +118,33 @@ def test_device_build_matches_host():
     td = FFTree.build(2 * N, False, 4, device=True)
     for lh, ld in zip(th.layers, td.layers):
         assert fr.to_int(lh) == fr.to_int(ld)
+
+
+def test_device_z_coeffs_at_scale(monkeypatch):
+    """The level-synchronous Karatsuba product tree (device path,
+    n > host cutoff) must agree with direct evaluation: z(d) == 0 on
+    sampled domain points, monic leading 1, and z(x0) == prod (x0 - d_i)
+    at a point off the domain (all against python-int Horner).  The host
+    cutoff is shrunk so the device path runs at a CI-friendly size;
+    scripts/zpoly_tpu.py drives it at 2^18 on hardware with the full
+    enter-based domain check (this jaxlib's XLA:CPU segfaults compiling
+    enter at this size, so the CI check stays on the host oracle)."""
+    from dvpari_tpu.fftree import tree as tree_mod
+
+    monkeypatch.setattr(tree_mod, "HOST_ZC_MAX", 256)
+    n = 1024
+    tree = FFTree.build(2 * n, False, 8)
+    zc = tree.z_coeffs(1)  # device product tree (n > patched cutoff)
+    assert zc.shape[-1] == n + 1
+    z_int = fr.to_int(zc)
+    assert z_int[-1] == 1  # monic
+    dom = fr.to_int(tree.leaves(1))
+    rng = random.Random(5)
+    for d in rng.sample(dom, 32):
+        assert horner(z_int, d) == 0
+    # spot value at x0 not in the domain
+    x0 = 0xDEADBEEF
+    expect = 1
+    for d in dom:
+        expect = expect * (x0 - d) % P
+    assert horner(z_int, x0) == expect
