@@ -44,10 +44,10 @@ from dvpari_tpu.fftree import aux_curve
 from dvpari_tpu.fftree.polyops import polymul, vanishing_poly_coeffs
 
 
-# Largest domain whose vanishing-poly product tree runs on the host
-# (python ints).  Above this the level-synchronous device Karatsuba
-# (fftree/polyops.py:_polymul_eq) takes over; tests shrink it to
-# exercise the device path cheaply.
+# Largest domain whose vanishing-poly product tree runs as python-int
+# schoolbook.  Above this the GMP Kronecker-substitution tree
+# (utils/kronecker.py) takes over; tests shrink it to exercise the
+# Kronecker path cheaply.
 HOST_ZC_MAX = 4096
 
 
@@ -207,12 +207,13 @@ class FFTree:
     def z_coeffs(self, d: int) -> jnp.ndarray:
         """Vanishing-poly coefficients of view(d) leaves: (20, n_d + 1).
 
-        Computed on the host (python-int product tree) up to moderate
-        sizes: a one-time domain precompute, cached as the z_poly
-        artifact (the reference budgets 2h+ for it at 2^23,
-        src/artifacts.rs:92).  The device product tree exists but its
-        Karatsuba graph needs the level-synchronous rewrite before it
-        compiles economically at scale (JOURNAL.md item 5).
+        A one-time domain precompute, cached as the z_poly artifact (the
+        reference budgets 2h+ for it at 2^23, src/artifacts.rs:92).
+        Small domains use the python-int product tree; large ones the
+        GMP Kronecker-substitution tree (utils/kronecker.py) -- the
+        device (XLA) Karatsuba tree exists (fftree/polyops.py) but its
+        O(3^depth) live temporaries exhaust HBM past ~2^16 leaves, so
+        the host owns this artifact at scale.
         """
         if d not in self._zc_cache:
             n_d = self.n >> d
@@ -221,8 +222,13 @@ class FFTree:
                     fr.from_int(_host_vanishing_coeffs(fr.to_int(self.leaves(d))))
                 )
             else:
-                fn = self._jitted(("zc", n_d), vanishing_poly_coeffs)
-                self._zc_cache[d] = fn(self.leaves(d))
+                from dvpari_tpu.utils import kronecker
+
+                self._zc_cache[d] = jnp.asarray(
+                    fr.from_int(
+                        kronecker.vanishing_coeffs(fr.to_int(self.leaves(d)), fr.P)
+                    )
+                )
         return self._zc_cache[d]
 
     def _z0_inv_odd(self, d: int) -> jnp.ndarray:
@@ -257,201 +263,140 @@ class FFTree:
         return self._jit_cache[key]
 
     def extend(self, evals: jnp.ndarray, moiety: str = "S1", d: int = 0):
-        self._flat_extend_tables(d, moiety)  # materialize eagerly before trace
-        fn = self._jitted(
-            ("extend", moiety, d, evals.shape),
-            lambda ev: self._extend_impl(ev, moiety, d),
-        )
-        return fn(evals)
-
-    def enter(self, coeffs: jnp.ndarray, d: int = 0) -> jnp.ndarray:
-        n = coeffs.shape[-1]
-        for k in range(_log2(n)):
-            self._flat_extend_tables(d + k, "S1")
-            self._xnn(d + k)
-        fn = self._jitted(
-            ("enter", d, coeffs.shape), lambda c: self._enter_impl(c, d)
-        )
-        return fn(coeffs)
-
-    def exit(self, evals: jnp.ndarray, d: int = 0) -> jnp.ndarray:
-        n = evals.shape[-1]
-        for k in range(_log2(n)):
-            self._flat_extend_tables(d + k, "S1")
-            self._flat_extend_tables(d + k, "S0")
-            self._z0_inv_odd(d + k)
-            self.z_coeffs(d + k + 1)
-        fn = self._jitted(
-            ("exit", d, evals.shape), lambda ev: self._exit_impl(ev, d)
-        )
-        return fn(evals)
-
-    def _flat_extend_tables(self, d: int, moiety: str):
-        """Stacked per-step tables for the flat extend kernel.
-
-        Key observation: with the level state kept as one flat m-vector,
-        the down-pass solution U0/U1 lands exactly at the source
-        positions of E0/E1, and likewise for the up-pass recombination.
-        Every level is therefore the same positional kernel
-            out[i] = cA[i] * state[i] + cB[i] * state[partner[i]]
-        and the whole transform is a single fori_loop over 2*log2(m)
-        steps - graph size independent of the domain size (the property
-        that makes 2^23-scale domains compilable).
-        """
-        key = ("flat", d, moiety)
-        if key in self._ext_cache:
-            return self._ext_cache[key]
-        m = self.n >> (d + 1)
-        K = _log2(m)
-        dec, rec = self._extend_consts(d, moiety)
-        partner = np.zeros((max(2 * K, 1), m), dtype=np.int32)
-        cA = np.zeros((max(2 * K, 1), fr.NLIMB, m), dtype=np.int32)
-        cB = np.zeros_like(cA)
-
-        def fill(step, k, lo_a, lo_b, hi_a, hi_b):
-            s = m >> k
-            half = s >> 1
-            v = np.arange(m // s).repeat(half)
-            j = np.tile(np.arange(half), m // s)
-            lo = v * s + j
-            hi = lo + half
-            partner[step, lo] = hi
-            partner[step, hi] = lo
-            # per-pair coefficient vectors are shared across the 2^k vectors
-            tile = lambda arr: np.tile(np.asarray(arr), (1, m // s))
-            cA[step, :, lo] = tile(lo_a).T
-            cB[step, :, lo] = tile(lo_b).T
-            cA[step, :, hi] = tile(hi_a).T
-            cB[step, :, hi] = tile(hi_b).T
-
-        for k in range(K):  # down: [U0; U1] = M^-1 [E0; E1]
-            d00, d01, d10, d11 = (np.asarray(x) for x in dec[k])
-            fill(k, k, d00, d01, d11, d10)
-        for k in range(K):  # up: [P0; P1] = M(t) [U0; U1]
-            r0, r0x, r1, r1x = (np.asarray(x) for x in rec[k])
-            fill(2 * K - 1 - k, k, r0, r0x, r1x, r1)
-        tables = (
-            jnp.asarray(partner),
-            jnp.asarray(cA),
-            jnp.asarray(cB),
-            2 * K,
-        )
-        self._ext_cache[key] = tables
-        return tables
-
-    def _extend_impl(self, evals: jnp.ndarray, moiety: str, d: int):
-        """Flat positional-kernel extend (see _flat_extend_tables)."""
         m = evals.shape[-1]
         assert m == self.n >> (d + 1), (m, self.n, d)
         if m == 1:
             return evals
-        partner, cA, cB, nsteps = self._flat_extend_tables(d, moiety)
-        ndim = evals.ndim
-
-        def body(i, st):
-            pid = jax.lax.dynamic_index_in_dim(partner, i, keepdims=False)
-            ca = jax.lax.dynamic_index_in_dim(cA, i, keepdims=False)
-            cb = jax.lax.dynamic_index_in_dim(cB, i, keepdims=False)
-            shape = (fr.NLIMB,) + (1,) * (ndim - 2) + (m,)
-            ca = ca.reshape(shape)
-            cb = cb.reshape(shape)
-            pstate = jnp.take(st, pid, axis=-1)
-            return fr.add(fr.mul(ca, st), fr.mul(cb, pstate))
-
-        return jax.lax.fori_loop(0, nsteps, body, evals)
-
-    def _extend_impl_levelwise(self, evals: jnp.ndarray, moiety: str, d: int):
-        """Evals of P (deg < m) on one moiety of view(d) -> the other moiety.
-
-        evals: (20, *batch, m) with m = n/2^(d+1).
-        (reference: FFTree::extend, used at src/proving.rs:410-422)
-        """
-        m = evals.shape[-1]
-        assert m == self.n >> (d + 1), (m, self.n, d)
         dec, rec = self._extend_consts(d, moiety)
-        K = _log2(m)
-        state = evals[..., None, :]  # (20, *B, V=1, s=m)
-        for k in range(K):
-            half = state.shape[-1] // 2
-            d00, d01, d10, d11 = (_bcast(c, state.ndim) for c in dec[k])
-            E0, E1 = state[..., :half], state[..., half:]
-            U0 = fr.add(fr.mul(d00, E0), fr.mul(d01, E1))
-            U1 = fr.add(fr.mul(d10, E0), fr.mul(d11, E1))
-            st = jnp.stack([U0, U1], axis=-2)  # (..., V, 2, half)
-            state = st.reshape(*st.shape[:-3], -1, half)
-        for k in reversed(range(K)):
-            half = state.shape[-1]
-            r0, r0x, r1, r1x = (_bcast(c, state.ndim) for c in rec[k])
-            st = state.reshape(*state.shape[:-2], -1, 2, half)
-            U0, U1 = st[..., 0, :], st[..., 1, :]
-            P0 = fr.add(fr.mul(r0, U0), fr.mul(r0x, U1))
-            P1 = fr.add(fr.mul(r1, U0), fr.mul(r1x, U1))
-            state = jnp.concatenate([P0, P1], axis=-1)
-        return state[..., 0, :]
+        fn = self._jitted(("extend", d, evals.shape), _extend_tabled)
+        return fn(evals, dec, rec)
 
-    def _enter_impl(self, coeffs: jnp.ndarray, d: int = 0) -> jnp.ndarray:
-        """Coefficients (deg < n_d) -> evals on all view(d) leaves.
-
-        (reference: FFTree::enter, used for barycentric weights and
-        vanishing evaluations, src/ec_fft.rs:284-335, 407-419)
-        """
+    def enter(self, coeffs: jnp.ndarray, d: int = 0) -> jnp.ndarray:
         n = coeffs.shape[-1]
         assert n == self.n >> d
-        K = _log2(n)
-        state = coeffs[..., :, None]  # (20, *B, V=n, s=1): constants
-        for k in reversed(range(K)):
-            sz = n >> (k + 1)  # current subvector length
-            u = state[..., 0::2, :]
-            v = state[..., 1::2, :]
-            u_ext = self.extend(u, "S1", d + k)
-            v_ext = self.extend(v, "S1", d + k)
-            xe, xo = self._xnn(d + k)
-            xe = _bcast(xe, state.ndim)
-            xo = _bcast(xo, state.ndim)
-            even = fr.add(u, fr.mul(xe, v))
-            odd = fr.add(u_ext, fr.mul(xo, v_ext))
-            st = jnp.stack([even, odd], axis=-1)  # (..., V, sz, 2)
-            state = st.reshape(*st.shape[:-3], st.shape[-3], 2 * sz)
-        return state[..., 0, :]
+        exts = [self._extend_consts(d + k, "S1") for k in range(_log2(n))]
+        xnns = [self._xnn(d + k) for k in range(_log2(n))]
+        fn = self._jitted(("enter", d, coeffs.shape), _enter_tabled)
+        return fn(coeffs, exts, xnns)
 
-    def _exit_impl(self, evals: jnp.ndarray, d: int = 0) -> jnp.ndarray:
-        """Evals on view(d) leaves -> coefficients (interpolation).
-
-        Uses P = A + Z0 * B where A interpolates the even moiety and B is
-        recovered on the odd moiety via the precomputed 1/Z0 values - the
-        role of the reference FFTree's z0_inv_s1/z1_inv_s0 fields
-        (reference: src/srs.rs:92-99 field list).
-        (reference: FFTree::exit, used by compute_vanishing_polynomial,
-        src/ec_fft.rs:241-282)
-        """
+    def exit(self, evals: jnp.ndarray, d: int = 0) -> jnp.ndarray:
         n = evals.shape[-1]
         assert n == self.n >> d
         K = _log2(n)
-        state = evals[..., None, :]  # (20, *B, V=1, s=n)
-        for k in range(K):
-            y0 = state[..., 0::2]
-            y1 = state[..., 1::2]
-            a_odd = self.extend(y0, "S1", d + k)
-            z0inv = _bcast(self._z0_inv_odd(d + k), state.ndim)
-            b_odd = fr.mul(fr.sub(y1, a_odd), z0inv)
-            b_even = self.extend(b_odd, "S0", d + k)
-            st = jnp.stack([y0, b_even], axis=-2)  # (..., V, 2, s/2)
-            state = st.reshape(*st.shape[:-3], -1, st.shape[-1])
-        # bottom: coefficients of constants are the values themselves
-        for k in reversed(range(K)):
-            sz = n >> (k + 1)
-            st = state.reshape(*state.shape[:-2], -1, 2, sz)
-            A, B = st[..., 0, :], st[..., 1, :]
-            z0t = _bcast(self._z0_tail(d + k + 1), st.ndim - 1)
-            prod = polymul(z0t, B)  # (..., V, 2*sz - 1)
-            out = jnp.concatenate([A, B], axis=-1)
-            out = out.at[..., : 2 * sz - 1].set(
-                fr.add(out[..., : 2 * sz - 1], prod)
-            )
-            state = out
-        return state[..., 0, :]
+        exts1 = [self._extend_consts(d + k, "S1") for k in range(K)]
+        exts0 = [self._extend_consts(d + k, "S0") for k in range(K)]
+        z0invs = [self._z0_inv_odd(d + k) for k in range(K)]
+        ztails = [self._z0_tail(d + k + 1) for k in range(K)]
+        fn = self._jitted(("exit", d, evals.shape), _exit_tabled)
+        return fn(evals, exts1, exts0, z0invs, ztails)
+
+    def _extend_impl(self, evals: jnp.ndarray, moiety: str, d: int):
+        """Trace-inline extend (for embedding in caller-jitted steps)."""
+        m = evals.shape[-1]
+        assert m == self.n >> (d + 1), (m, self.n, d)
+        if m == 1:
+            return evals
+        dec, rec = self._extend_consts(d, moiety)
+        return _extend_tabled(evals, dec, rec)
 
     def _z0_tail(self, d: int) -> jnp.ndarray:
         """Z_{view(d)} minus its monic top term: (20, n_d) coefficients."""
         zc = self.z_coeffs(d)
         return zc[..., :-1]
+
+
+# -- tabled transform bodies (module-level: jitted with the per-level
+#    constants passed as ARGUMENTS, never closed over) ----------------------
+#
+# Closing the tables into the trace would embed them in the lowered HLO
+# as literal constants: O(m log m) bytes of module, which (a) breaks
+# remote-compile transports at scale (the axon tunnel rejects >~100 MB
+# modules) and (b) duplicates the tables per compiled shape.  As
+# arguments they live once in HBM and the module stays O(log^2 m) ops.
+
+
+def _extend_tabled(evals: jnp.ndarray, dec, rec) -> jnp.ndarray:
+    """Levelwise ECFFT extend: evals of P (deg < m) on one moiety of a
+    view -> the other moiety.  dec/rec: per-level 4-tuples of (20, half)
+    coefficient vectors from FFTree._extend_consts (shared across the
+    2^k subvectors at level k -- the stride-view collapse).
+    (reference: FFTree::extend, used at src/proving.rs:410-422)
+    """
+    state = evals[..., None, :]  # (20, *B, V=1, s=m)
+    for k in range(len(dec)):
+        half = state.shape[-1] // 2
+        d00, d01, d10, d11 = (_bcast(c, state.ndim) for c in dec[k])
+        E0, E1 = state[..., :half], state[..., half:]
+        U0 = fr.add(fr.mul(d00, E0), fr.mul(d01, E1))
+        U1 = fr.add(fr.mul(d10, E0), fr.mul(d11, E1))
+        st = jnp.stack([U0, U1], axis=-2)  # (..., V, 2, half)
+        state = st.reshape(*st.shape[:-3], -1, half)
+    for k in reversed(range(len(rec))):
+        half = state.shape[-1]
+        r0, r0x, r1, r1x = (_bcast(c, state.ndim) for c in rec[k])
+        st = state.reshape(*state.shape[:-2], -1, 2, half)
+        U0, U1 = st[..., 0, :], st[..., 1, :]
+        P0 = fr.add(fr.mul(r0, U0), fr.mul(r0x, U1))
+        P1 = fr.add(fr.mul(r1, U0), fr.mul(r1x, U1))
+        state = jnp.concatenate([P0, P1], axis=-1)
+    return state[..., 0, :]
+
+
+def _enter_tabled(coeffs: jnp.ndarray, exts, xnns) -> jnp.ndarray:
+    """Coefficients (deg < n) -> evals on all view leaves.  exts[k] =
+    (dec, rec) extend constants at view d+k; xnns[k] = x^(sz) on the
+    even/odd leaves of view d+k.
+    (reference: FFTree::enter, src/ec_fft.rs:284-335, 407-419)
+    """
+    n = coeffs.shape[-1]
+    K = len(exts)
+    state = coeffs[..., :, None]  # (20, *B, V=n, s=1): constants
+    for k in reversed(range(K)):
+        sz = n >> (k + 1)  # current subvector length
+        u = state[..., 0::2, :]
+        v = state[..., 1::2, :]
+        dec, rec = exts[k]
+        u_ext = _extend_tabled(u, dec, rec)
+        v_ext = _extend_tabled(v, dec, rec)
+        xe, xo = xnns[k]
+        xe = _bcast(xe, state.ndim)
+        xo = _bcast(xo, state.ndim)
+        even = fr.add(u, fr.mul(xe, v))
+        odd = fr.add(u_ext, fr.mul(xo, v_ext))
+        st = jnp.stack([even, odd], axis=-1)  # (..., V, sz, 2)
+        state = st.reshape(*st.shape[:-3], st.shape[-3], 2 * sz)
+    return state[..., 0, :]
+
+
+def _exit_tabled(evals: jnp.ndarray, exts1, exts0, z0invs, ztails) -> jnp.ndarray:
+    """Evals on view leaves -> coefficients (interpolation) via
+    P = A + Z0 * B (the role of the reference FFTree's z0_inv_s1 /
+    z1_inv_s0 fields, src/srs.rs:92-99).
+    (reference: FFTree::exit, used by compute_vanishing_polynomial,
+    src/ec_fft.rs:241-282)
+    """
+    n = evals.shape[-1]
+    K = len(exts1)
+    state = evals[..., None, :]  # (20, *B, V=1, s=n)
+    for k in range(K):
+        y0 = state[..., 0::2]
+        y1 = state[..., 1::2]
+        a_odd = _extend_tabled(y0, *exts1[k])
+        z0inv = _bcast(z0invs[k], state.ndim)
+        b_odd = fr.mul(fr.sub(y1, a_odd), z0inv)
+        b_even = _extend_tabled(b_odd, *exts0[k])
+        st = jnp.stack([y0, b_even], axis=-2)  # (..., V, 2, s/2)
+        state = st.reshape(*st.shape[:-3], -1, st.shape[-1])
+    # bottom: coefficients of constants are the values themselves
+    for k in reversed(range(K)):
+        sz = n >> (k + 1)
+        st = state.reshape(*state.shape[:-2], -1, 2, sz)
+        A, B = st[..., 0, :], st[..., 1, :]
+        z0t = _bcast(ztails[k], st.ndim - 1)
+        prod = polymul(z0t, B)  # (..., V, 2*sz - 1)
+        out = jnp.concatenate([A, B], axis=-1)
+        out = out.at[..., : 2 * sz - 1].set(
+            fr.add(out[..., : 2 * sz - 1], prod)
+        )
+        state = out
+    return state[..., 0, :]

@@ -120,27 +120,10 @@ def test_device_build_matches_host():
         assert fr.to_int(lh) == fr.to_int(ld)
 
 
-def test_device_z_coeffs_at_scale(monkeypatch):
-    """The level-synchronous Karatsuba product tree (device path,
-    n > host cutoff) must agree with direct evaluation: z(d) == 0 on
-    sampled domain points, monic leading 1, and z(x0) == prod (x0 - d_i)
-    at a point off the domain (all against python-int Horner).  The host
-    cutoff is shrunk so the device path runs at a CI-friendly size;
-    scripts/zpoly_tpu.py drives it at 2^18 on hardware with the full
-    enter-based domain check (this jaxlib's XLA:CPU segfaults compiling
-    enter at this size, so the CI check stays on the host oracle)."""
-    from dvpari_tpu.fftree import tree as tree_mod
-
-    monkeypatch.setattr(tree_mod, "HOST_ZC_MAX", 256)
-    n = 1024
-    tree = FFTree.build(2 * n, False, 8)
-    zc = tree.z_coeffs(1)  # device product tree (n > patched cutoff)
-    assert zc.shape[-1] == n + 1
-    z_int = fr.to_int(zc)
+def _check_z_coeffs(z_int, dom):
     assert z_int[-1] == 1  # monic
-    dom = fr.to_int(tree.leaves(1))
     rng = random.Random(5)
-    for d in rng.sample(dom, 32):
+    for d in rng.sample(dom, min(32, len(dom))):
         assert horner(z_int, d) == 0
     # spot value at x0 not in the domain
     x0 = 0xDEADBEEF
@@ -148,3 +131,48 @@ def test_device_z_coeffs_at_scale(monkeypatch):
     for d in dom:
         expect = expect * (x0 - d) % P
     assert horner(z_int, x0) == expect
+
+
+def test_kronecker_z_coeffs_at_scale(monkeypatch):
+    """The GMP Kronecker product tree (production path for large
+    domains) must agree with direct evaluation: z(d) == 0 on sampled
+    domain points, monic leading 1, and z(x0) == prod (x0 - d_i) at a
+    point off the domain (python-int Horner oracle).  The host-int
+    cutoff is shrunk so the Kronecker path runs at a CI-friendly size;
+    scripts/zpoly_tpu.py drives it at 2^18 with the full enter-based
+    domain check."""
+    from dvpari_tpu.fftree import tree as tree_mod
+
+    monkeypatch.setattr(tree_mod, "HOST_ZC_MAX", 256)
+    n = 1024
+    tree = FFTree.build(2 * n, False, 8)
+    zc = tree.z_coeffs(1)  # kronecker product tree (n > patched cutoff)
+    assert zc.shape[-1] == n + 1
+    _check_z_coeffs(fr.to_int(zc), fr.to_int(tree.leaves(1)))
+
+
+def test_kronecker_python_fallback(monkeypatch):
+    """Same answers with libgmp unavailable (CPython int multiply)."""
+    from dvpari_tpu.utils import kronecker
+
+    monkeypatch.setattr(kronecker, "_gmp", None)
+    monkeypatch.setattr(kronecker, "_gmp_tried", True)
+    tree = FFTree.build(128, False, 4)
+    dom = fr.to_int(tree.leaves(0))
+    _check_z_coeffs(kronecker.vanishing_coeffs(dom, P), dom)
+
+
+def test_device_z_coeffs_vs_host():
+    """The level-synchronous device Karatsuba tree (fftree/polyops.py)
+    still matches the host product tree at a small size (it is no
+    longer the production path at scale -- the Kronecker tree is -- but
+    remains the all-device option for moderate domains)."""
+    import jax
+
+    from dvpari_tpu.fftree.polyops import vanishing_poly_coeffs
+    from dvpari_tpu.fftree.tree import _host_vanishing_coeffs
+
+    tree = FFTree.build(1024, False, 8)
+    leaves = tree.leaves(1)  # 512 points
+    got = fr.to_int(jax.jit(vanishing_poly_coeffs)(leaves))
+    assert got == _host_vanishing_coeffs(fr.to_int(leaves))
