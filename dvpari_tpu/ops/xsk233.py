@@ -377,6 +377,16 @@ def recode_limbs(scalars: jnp.ndarray) -> "tuple[jnp.ndarray, jnp.ndarray]":
 _BS_MIN_N = 4096
 
 
+def _msm_chunk_cols() -> int:
+    """Pipelining granularity for the bit-sliced MSM, in plane columns
+    (32 points each).  Host tau-NAF recoding of chunk i+1 overlaps the
+    device ladder of chunk i via async dispatch, so neither the CPU nor
+    the TPU ever waits for the other on large MSMs."""
+    import os
+
+    return int(os.environ.get("DVPARI_MSM_CHUNK_COLS", "512"))
+
+
 def _msm_limbs_bitsliced(
     scalars: jnp.ndarray, points: jnp.ndarray, planes=None
 ) -> jnp.ndarray:
@@ -384,7 +394,13 @@ def _msm_limbs_bitsliced(
     fused on-chip ladder (ops/pallas_msm.py).  ~9x the word-sliced
     device throughput at 2^14.  `planes` (value or zero-arg callable)
     supplies a pre-packed bit-plane layout, e.g. the .planes.npz SRS
-    sidecar (storage/artifacts.py:read_point_vec_planes)."""
+    sidecar (storage/artifacts.py:read_point_vec_planes).
+
+    Large MSMs are cut into equal column chunks: each chunk's digit
+    masks are recoded on host (native, OpenMP) while the previous
+    chunk's ladder runs on device (dispatch is async), and the partial
+    results fold on device at the end -- recoding cost is hidden
+    behind the ladder instead of serialized in front of it."""
     global _strongnorm_jit
     from dvpari_tpu.ops import fr
     from dvpari_tpu.ops import xsk233_bs as bs
@@ -394,14 +410,31 @@ def _msm_limbs_bitsliced(
     if _strongnorm_jit is None:
         _strongnorm_jit = jax.jit(fr.strong_normalize)
     canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
-    oh, ng = recode_masks_bulk(canon)
     if callable(planes):
         planes = planes()
     if planes is None:
         planes = bs.pack_points(np.asarray(jax.device_get(points)))
-    res = pallas_msm.msm_packed(
-        jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes)
-    )
+    planes = np.asarray(planes)
+    C = planes.shape[-1]
+    ck = _msm_chunk_cols()
+    if C <= ck:
+        oh, ng = recode_masks_bulk(canon)
+        res = pallas_msm.msm_packed(
+            jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes)
+        )
+        return jnp.asarray(bs.extract_point(res, 0))
+    partials = []
+    for c0 in range(0, C, ck):
+        c1 = min(c0 + ck, C)
+        oh, ng = recode_masks_bulk(canon[:, 32 * c0 : 32 * c1])
+        # async dispatch: returns at enqueue, device crunches this
+        # chunk while the next one recodes on host
+        partials.append(
+            pallas_msm.msm_packed(
+                jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes[:, :, c0:c1])
+            )
+        )
+    res = bs.fold_cols(jnp.stack(partials, axis=-1))
     return jnp.asarray(bs.extract_point(res, 0))
 
 
@@ -517,9 +550,19 @@ def mulgen_limbs(scalars: jnp.ndarray) -> jnp.ndarray:
         if _strongnorm_jit is None:
             _strongnorm_jit = jax.jit(fr.strong_normalize)
         canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
-        oh, ng = recode_masks_bulk(canon)
-        planes = pallas_msm.mulgen_packed(
-            jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(_gen_table_planes())
+        table = jnp.asarray(_gen_table_planes())
+        ck = _msm_chunk_cols()
+        # enqueue per-chunk ladders first (async), then fetch: chunk
+        # i+1's host recode overlaps chunk i's device ladder
+        chunks = []
+        for s0 in range(0, n, 32 * ck):
+            s1 = min(s0 + 32 * ck, n)
+            oh, ng = recode_masks_bulk(canon[:, s0:s1])
+            out = pallas_msm.mulgen_packed(jnp.asarray(oh), jnp.asarray(ng), table)
+            chunks.append((out, -(s1 - s0) // -32))
+        planes = np.concatenate(
+            [np.asarray(jax.device_get(p))[..., :cols] for p, cols in chunks],
+            axis=-1,
         )
         return jnp.asarray(bs.unpack_points(planes)[..., :n])
     idx, sgn = recode_limbs(scalars)

@@ -224,6 +224,34 @@ def fold_sum(p: jnp.ndarray) -> jnp.ndarray:
     return flat[..., 0]
 
 
+_fold_cols_jit = None
+
+
+def fold_cols(p: jnp.ndarray) -> jnp.ndarray:
+    """Column-only group fold (3, 233, k) -> (3, 233): pairwise adds
+    across the last axis, NO in-word bit fold.  Combines per-chunk MSM
+    partials (each already bit-folded, answer in bit 0; the other bits
+    carry unrelated partial sums and stay slot-parallel garbage)."""
+    global _fold_cols_jit
+    if _fold_cols_jit is None:
+
+        def _core(flat):
+            C = flat.shape[-1]
+            while C > 1:
+                half = C // 2
+                folded = add(flat[..., :half], flat[..., half : 2 * half])
+                if C % 2:
+                    folded = jnp.concatenate(
+                        [folded, flat[..., 2 * half :]], axis=-1
+                    )
+                flat = folded
+                C = flat.shape[-1]
+            return flat[..., 0]
+
+        _fold_cols_jit = jax.jit(_core)
+    return _fold_cols_jit(p)
+
+
 # ---------------------------------------------------------------------------
 # Host-side packing: window codes -> bitmasks, points -> planes
 # ---------------------------------------------------------------------------

@@ -55,6 +55,50 @@ def msm_sharded(bits: jnp.ndarray, points: jnp.ndarray, mesh) -> jnp.ndarray:
     return run(bits, points)
 
 
+def msm_bs_sharded(idx_masks, ng_masks, planes, mesh) -> jnp.ndarray:
+    """Bit-sliced tau-NAF MSM across the mesh: plane COLUMNS (32 points
+    each) shard over the devices, each shard runs the full bit-sliced
+    ladder (ops/xsk233_bs.py) over its slice, and the (3, 233, ndev)
+    partials fold outside the shard_map (GSPMD all-gather + log-depth
+    adds over ICI).  The multi-chip form of the production fused-ladder
+    engine; same map+reduce shape as the reference's rayon MSM
+    (reference: src/curve.rs:141-158).
+
+    idx_masks uint32[62, 11, C], ng_masks uint32[62, C], planes
+    uint32[3, 233, C].  Pads C to a multiple of the device count
+    (zero masks select no table entry -> infinity; safe).
+    """
+    from dvpari_tpu.ops import xsk233_bs as bs
+
+    ndev = mesh.devices.size
+    C = planes.shape[-1]
+    pad = -C % ndev
+    if pad:
+        idx_masks = jnp.pad(idx_masks, ((0, 0), (0, 0), (0, pad)))
+        ng_masks = jnp.pad(ng_masks, ((0, 0), (0, pad)))
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, SHARD_AXIS),
+            P(None, SHARD_AXIS),
+            P(None, None, SHARD_AXIS),
+        ),
+        out_specs=P(None, None, SHARD_AXIS),
+        check_rep=False,
+    )
+    def local(oh, ng, pl):
+        return bs._msm_core(oh, ng, pl)[..., None]  # (3, 233, 1) per shard
+
+    @jax.jit
+    def run(oh, ng, pl):
+        return bs.fold_cols(local(oh, ng, pl))  # (3, 233), answer in bit 0
+
+    return run(idx_masks, ng_masks, planes)
+
+
 def msm_frob_sharded(idx, sgn, points, mesh) -> jnp.ndarray:
     """tau-NAF MSM across the mesh (fast path)."""
 

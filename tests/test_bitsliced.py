@@ -129,6 +129,35 @@ def test_mulgen_fixed_base_vs_host():
         assert _to_affine(planes_np, j) is None
 
 
+def test_msm_chunked_pipeline(monkeypatch):
+    """The chunked (pipelined) bit-sliced MSM orchestration -- column
+    slicing, ragged tail, per-chunk recode, fold_cols combine -- must
+    reproduce the word-sliced MSM exactly.  The Pallas kernel itself is
+    TPU-validated; here it is stood in by the XLA bit-sliced core so the
+    host logic runs on CPU."""
+    import jax
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import pallas_msm
+
+    monkeypatch.setattr(
+        pallas_msm, "msm_packed", lambda oh, ng, p: bs.msm_packed(oh, ng, p)
+    )
+    monkeypatch.setenv("DVPARI_MSM_CHUNK_COLS", "2")  # 64-point chunks
+    n = 150  # 3 chunks: 64 + 64 + ragged 22
+    ks = [int.from_bytes(RNG.bytes(28), "little") % host.R for k in range(n)]
+    pts = _rand_points(n)
+    points = jnp.asarray(np.asarray(xsk233.from_affine_int(pts)))
+    scalars = jnp.asarray(fr.from_int(ks))
+    got = np.asarray(
+        jax.device_get(xsk233._msm_limbs_bitsliced(scalars, points))
+    )
+    idx, sgn = xsk233.recode_limbs(scalars)
+    expect = np.asarray(jax.device_get(xsk233.msm_frob_jit(idx, sgn, points)))
+    got_aff = xsk233.to_affine_int(jnp.asarray(got))
+    expect_aff = xsk233.to_affine_int(jnp.asarray(expect))
+    assert got_aff == expect_aff and expect_aff is not None
+
+
 @pytest.mark.parametrize("n", [5, 32, 70])
 def test_msm_vs_wordsliced(n):
     ks = [int.from_bytes(RNG.bytes(28), "little") % host.R for _ in range(n)]

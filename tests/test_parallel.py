@@ -25,6 +25,34 @@ def test_msm_sharded_matches_single_device():
     assert xsk233.to_affine_int(out) == want
 
 
+def test_msm_bs_sharded_matches_host():
+    """The bit-sliced fused-engine MSM sharded over the mesh (plane
+    columns across devices, partial fold over ICI) must agree with the
+    host oracle -- including the column padding to a device multiple
+    (96 points -> 3 columns -> padded to 8)."""
+    from dvpari_tpu.ops import fr, tnaf
+    from dvpari_tpu.ops import xsk233_bs as bs
+    from dvpari_tpu.parallel.sharded import msm_bs_sharded
+
+    mesh = make_mesh(8)
+    rng = random.Random(11)
+    n = 96
+    ks = [rng.randrange(1, host.R) for _ in range(n)]
+    pts_aff = [host.smul(k, (host.GX, host.GY)) for k in
+               (rng.randrange(1, host.R) for _ in range(n))]
+    points = np.asarray(xsk233.from_affine_int(pts_aff))
+    oh, ng = tnaf.recode_masks_bulk(np.asarray(fr.from_int(ks)))
+    planes = bs.pack_points(points)
+    res = msm_bs_sharded(
+        jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes), mesh
+    )
+    got = bs.extract_point(np.asarray(jax.device_get(res)), 0)
+    expect = None
+    for k, p in zip(ks, pts_aff):
+        expect = host.add(expect, host.smul(k, p))
+    assert xsk233.to_affine_int(jnp.asarray(got)) == expect
+
+
 def test_graft_entry_contract():
     import __graft_entry__ as g
 
