@@ -204,7 +204,7 @@ def prove(
     transcript.circuit_info_hash(inst)
     transcript.public_input_hash(public_inputs)
 
-    with phase("prove.extend"):
+    with phase("prove.extend", n=4 * m):
         a2 = tree2n.extend(a_vals, "S1", 0)
         b2 = tree2n.extend(b_vals, "S1", 0)
         c2 = tree2n.extend(c_vals, "S1", 0)

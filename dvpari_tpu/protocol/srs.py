@@ -215,6 +215,11 @@ def verifier_runs_setup(
             tau_dev, m, l_tau, l_taud, z_poly, z_polyd, z_vals2_inv, z_vals2d_inv
         )
 
+    # memory plan: the trees and per-domain vectors are dead past this
+    # point -- release them before the SRS fan-out allocates its point
+    # vectors (the reference's clear_fftree discipline, src/srs.rs:86-101)
+    del tree2n, tree2nd, z_polyd, z_vals2_inv, z_vals2d_inv
+
     # --- SRS matrices (reference: compute_srs_matrices, src/srs.rs:112-167)
     eps = trapdoor.epsilon % fr.P
     delta = trapdoor.delta % fr.P
@@ -226,6 +231,7 @@ def verifier_runs_setup(
             _jit_scale(m_vals, jnp.asarray(fr.from_int(eps)).reshape(fr.NLIMB, 1))
         )
         art.write_point_vec(os.path.join(cache_dir, art.SRS_G_M), g_m)
+        del m_vals, g_m
 
     with phase("setup.g_q"):
         z_tau_i = fr.to_int(jax.jit(fr.horner_eval)(z_poly, tau_dev))
@@ -234,9 +240,10 @@ def verifier_runs_setup(
             _jit_scale(l_taud, jnp.asarray(fr.from_int(scale)).reshape(fr.NLIMB, 1))
         )
         art.write_point_vec(os.path.join(cache_dir, art.SRS_G_Q), g_q)
+        del z_poly, l_taud, g_q
 
     with phase("setup.g_k"):
-        g_k = []
+        names = []
         for j, (l_slice, name) in enumerate(
             [(l_tau, art.SRS_G_K_0), (l_tau, art.SRS_G_K_1), (l_taul, art.SRS_G_K_2)]
         ):
@@ -245,9 +252,16 @@ def verifier_runs_setup(
                 _jit_scale(l_slice, jnp.asarray(fr.from_int(dp)).reshape(fr.NLIMB, 1))
             )
             art.write_point_vec(os.path.join(cache_dir, name), gk)
-            g_k.append(gk)
+            del gk
+            names.append(name)
 
-    return {"g_m": g_m, "g_q": g_q, "g_k": g_k}
+    # the SRS lives in the artifact cache (the reference also reloads it
+    # from disk for proving); hand back paths, not multi-GB live arrays
+    return {
+        "g_m": os.path.join(cache_dir, art.SRS_G_M),
+        "g_q": os.path.join(cache_dir, art.SRS_G_Q),
+        "g_k": [os.path.join(cache_dir, n) for n in names],
+    }
 
 
 def verify(trapdoor: Trapdoor, public_inputs: "list[int]", proof: Proof) -> bool:

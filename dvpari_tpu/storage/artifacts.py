@@ -99,23 +99,38 @@ def read_fr_vec(path: str) -> jnp.ndarray:
 
 # --- point vectors ---------------------------------------------------------
 
+# Points per chunk for streaming encode/decode: bounds the transient
+# u64-repack and record buffers during multi-GB vector IO (the
+# reference's analog is mmap-windowed IO, src/io_utils.rs).
+IO_CHUNK = 1 << 20
+
+
 def write_point_vec(path: str, points: jnp.ndarray) -> None:
     """points: (3, 8, n) projective batch -> 30B compressed records +
-    .fast.npz sidecar with the affine word arrays.
+    .fast.npz sidecar with the affine word arrays + .planes.npz
+    bit-sliced sidecar (large vectors; what the fused-ladder MSM reads).
 
     Uses the native backend (batched affine normalization + bulk encode)
-    when available; python host codec otherwise.
+    when available; python host codec otherwise.  Encoding streams in
+    IO_CHUNK slices so transient buffers stay bounded at SP1 scale.
     """
     from dvpari_tpu import native
 
     if native.available():
-        xy, inf = _native_batch_affine(points)
-        data = native.encode_bulk(xy, inf)
-        n = len(inf)
+        arr = np.asarray(jax.device_get(points))
+        n = arr.shape[-1]
+        proj = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
         with open(path, "wb") as f:
             f.write(struct.pack("<Q", n))
-            f.write(data)
-        _write_point_sidecar_words(path, xy, inf)
+            for s in range(0, n, IO_CHUNK):
+                xy, inf = _native_batch_affine(arr[..., s : s + IO_CHUNK])
+                f.write(native.encode_bulk(xy, inf))
+                proj[..., s : s + xy.shape[0]] = _words64_to_proj(xy, inf)
+        np.savez(path + ".fast.npz", X=proj[0], Y=proj[1], Z=proj[2])
+        if n >= 4096:  # MSM-sized: pre-pack the bit-plane sidecar too
+            from dvpari_tpu.ops import xsk233_bs as bs
+
+            np.savez(path + ".planes.npz", P=bs.pack_points(proj))
         return
 
     from dvpari_tpu.utils import xsk233_host as host
@@ -130,11 +145,10 @@ def write_point_vec(path: str, points: jnp.ndarray) -> None:
     _write_point_sidecar(path, affine)
 
 
-def _native_batch_affine(points: jnp.ndarray):
-    """(3, 8, n) uint32 device batch -> (xy uint64[n, 8], inf uint8[n])."""
+def _native_batch_affine(arr: np.ndarray):
+    """(3, 8, n) uint32 host batch -> (xy uint64[n, 8], inf uint8[n])."""
     from dvpari_tpu import native
 
-    arr = np.asarray(jax.device_get(points))  # (3, 8, n) uint32
     n = arr.shape[-1]
     # repack to native layout: per point 12 u64 words (X, Y, Z)
     w = np.zeros((n, 12), dtype=np.uint64)
@@ -152,7 +166,7 @@ def _native_batch_affine(points: jnp.ndarray):
     return xy, inf
 
 
-def _words64_to_proj(xy: np.ndarray, inf: np.ndarray) -> jnp.ndarray:
+def _words64_to_proj(xy: np.ndarray, inf: np.ndarray) -> np.ndarray:
     """(n, 8) u64 affine pairs + inf flags -> (3, 8, n) uint32 batch."""
     n = len(inf)
     out = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
@@ -162,12 +176,7 @@ def _words64_to_proj(xy: np.ndarray, inf: np.ndarray) -> jnp.ndarray:
         out[c, 1::2, :] = (w64 >> 32).astype(np.uint32)
     out[2, 0, :] = np.where(inf == 1, 0, 1)
     out[1, 0, :] = np.where(inf == 1, 1, out[1, 0, :])
-    return jnp.asarray(out)
-
-
-def _write_point_sidecar_words(path: str, xy: np.ndarray, inf: np.ndarray) -> None:
-    proj = np.asarray(_words64_to_proj(xy, inf))
-    np.savez(path + ".fast.npz", X=proj[0], Y=proj[1], Z=proj[2])
+    return out
 
 
 def _write_point_sidecar(path: str, affine: list) -> None:
@@ -193,7 +202,12 @@ def read_point_vec_planes(path: str) -> np.ndarray:
         return np.load(pp)["P"]
     from dvpari_tpu.ops import xsk233_bs as bs
 
-    pts = np.asarray(jax.device_get(read_point_vec(path)))
+    fast = path + ".fast.npz"
+    if os.path.exists(fast):
+        z = np.load(fast)
+        pts = np.stack([z["X"], z["Y"], z["Z"]], axis=0)
+    else:
+        pts = np.asarray(jax.device_get(read_point_vec(path)))
     planes = bs.pack_points(pts)
     np.savez(pp, P=planes)
     return planes
@@ -215,8 +229,14 @@ def read_point_vec(path: str, validate: bool = False) -> jnp.ndarray:
     from dvpari_tpu import native
 
     if native.available():
-        xy, inf = native.decode_bulk(payload)  # raises on invalid records
-        return _words64_to_proj(xy, inf)
+        out = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
+        for s in range(0, n, IO_CHUNK):  # stream: bounded decode buffers
+            e = min(s + IO_CHUNK, n)
+            xy, inf = native.decode_bulk(
+                payload[s * PT_RECORD : e * PT_RECORD]
+            )  # raises on invalid records
+            out[..., s:e] = _words64_to_proj(xy, inf)
+        return jnp.asarray(out)
 
     from dvpari_tpu.utils import xsk233_host as host
 
