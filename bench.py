@@ -23,7 +23,7 @@ import json
 import os
 import time
 
-N_POINTS = int(os.environ.get("DVPARI_BENCH_N", 16384))
+N_POINTS = int(os.environ.get("DVPARI_BENCH_N", 1 << 18))
 REFERENCE_POINTS_PER_SEC = 20_000.0
 
 

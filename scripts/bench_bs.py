@@ -5,6 +5,7 @@ excluded on both sides to isolate kernel throughput) and then the honest
 end-to-end (recode included) number for the bit-sliced path.
 """
 
+import os
 import sys
 import time
 
@@ -12,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dvpari_tpu.ops import fr, tnaf, xsk233, xsk233_bs as bs, pallas_msm
 

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, random, numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache_tpu")

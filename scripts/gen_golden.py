@@ -11,9 +11,10 @@ src/ec_fft.rs:628-1091)
 Run on CPU: JAX_PLATFORMS=cpu python scripts/gen_golden.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

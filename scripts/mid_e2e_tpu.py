@@ -1,4 +1,6 @@
 """Mid-size e2e on the real TPU: m=1024 constraints, full pipeline."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time, random
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache_tpu")

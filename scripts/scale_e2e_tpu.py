@@ -6,6 +6,8 @@ recorded per-phase times and no python-loop device stage.
 
 Run from /root/repo (no PYTHONPATH):  python scripts/scale_e2e_tpu.py [log2_m]
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, sys, time
 
 import jax
@@ -70,9 +72,25 @@ def main():
     t0 = time.time()
     proof = PR.prove(cache, pub, chain)
     print(f"PROVE (cold) m=2^{log_m}: {time.time()-t0:.1f}s", flush=True)
+    from dvpari_tpu.utils import roofline, timing
+
+    ev_start = len(timing.EVENTS)
     t0 = time.time()
     proof = PR.prove(cache, pub, chain)
-    print(f"PROVE (warm) m=2^{log_m}: {time.time()-t0:.1f}s", flush=True)
+    warm_s = time.time() - t0
+    print(f"PROVE (warm) m=2^{log_m}: {warm_s:.1f}s", flush=True)
+
+    # per-phase roofline of the warm prove (BASELINE.json north star)
+    print("--- warm prove roofline ---", flush=True)
+    for e in timing.EVENTS[ev_start:]:
+        name, secs, n = e["phase"], e["seconds"], e.get("n")
+        if name.startswith("prove.msm") and n:
+            cost = roofline.msm_bitsliced_cost(int(n))
+        elif "extend" in name and n:
+            cost = roofline.extend_cost(int(n))
+        else:
+            continue
+        print(roofline.format_row(name, cost, roofline.achieved(cost, secs)), flush=True)
     t0 = time.time()
     ok = S.verify(td, pub, proof)
     print(f"VERIFY: {time.time()-t0:.1f}s -> {ok}", flush=True)

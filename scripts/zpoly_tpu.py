@@ -5,10 +5,11 @@ checked against enter-evaluation == 0 on the domain and a host spot
 value.  Run from /root/repo (no PYTHONPATH): python scripts/zpoly_tpu.py [log2_n]
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
