@@ -242,6 +242,18 @@ class FFTree:
         self._z0odd_cache[d] = fr.batch_inverse(ev[:, 1::2], axis=0)
         return self._z0odd_cache[d]
 
+    def vanish_coeffs_subset(self, indices, d: int = 0) -> jnp.ndarray:
+        """Vanishing-poly coefficients (20, k + 1) of an ARBITRARY subset
+        of view(d) leaves -- the ecfft crate's general `vanish`
+        capability (DV-Pari itself only needs the moiety case,
+        vanish_subdomain).  Any subset size; Kronecker product tree."""
+        from dvpari_tpu.utils import kronecker
+
+        dom = fr.to_int(self.leaves(d))
+        pts = [dom[int(i)] for i in indices]
+        assert len(pts) == len(set(pts)) and pts, "distinct, non-empty subset"
+        return jnp.asarray(fr.from_int(kronecker.vanishing_coeffs(pts, fr.P)))
+
     def vanish_subdomain(self, d: int = 0) -> jnp.ndarray:
         """Evals of Z_{view(d+1)-leaves} on ALL view(d) leaves (zeros on the
         even moiety) - the reference's `vanish(S0)` use

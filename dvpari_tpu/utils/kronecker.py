@@ -113,19 +113,23 @@ def _unpack_reduce(data: bytes, ncoeff: int, p: int) -> "list[int]":
 
 
 def vanishing_coeffs(domain: "list[int]", p: int) -> "list[int]":
-    """Coefficients (low-to-high, monic) of prod (x - d) over GF(p)."""
+    """Coefficients (low-to-high, monic) of prod (x - d) over GF(p).
+
+    Any domain size >= 1 (an odd node carries up a level unchanged)."""
     n = len(domain)
-    assert n & (n - 1) == 0, "power-of-two domain"
-    # leaf nodes: (x - d) packed as two coefficient slots
-    nodes = [_pack([(p - d) % p, 1]) for d in domain]
-    m = 1  # leaves per node
+    assert n >= 1
+    # leaf nodes: (x - d) packed as two coefficient slots; each node
+    # tracks its leaf count (non-pow2 trees have ragged nodes)
+    nodes = [(_pack([(p - d) % p, 1]), 1) for d in domain]
     while len(nodes) > 1:
-        m *= 2
-        out_len = PAD_BYTES * (2 * (m // 2 + 1))
-        prods = [
-            _mul_bytes(nodes[i], nodes[i + 1], out_len)
-            for i in range(0, len(nodes), 2)
-        ]
-        # re-reduce every slot mod p so the 512-bit budget never overflows
-        nodes = [_pack(_unpack_reduce(d, m + 1, p)) for d in prods]
-    return _unpack_reduce(nodes[0], n + 1, p)
+        nxt = []
+        for i in range(0, len(nodes) - 1, 2):
+            (da, ma), (db, mb) = nodes[i], nodes[i + 1]
+            m = ma + mb
+            prod = _mul_bytes(da, db, PAD_BYTES * (m + 2))
+            # re-reduce every slot mod p: the 512-bit budget never overflows
+            nxt.append((_pack(_unpack_reduce(prod, m + 1, p)), m))
+        if len(nodes) % 2:
+            nxt.append(nodes[-1])
+        nodes = nxt
+    return _unpack_reduce(nodes[0][0], n + 1, p)

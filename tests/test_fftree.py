@@ -162,6 +162,24 @@ def test_kronecker_python_fallback(monkeypatch):
     _check_z_coeffs(kronecker.vanishing_coeffs(dom, P), dom)
 
 
+def test_vanish_arbitrary_subset():
+    """vanish over an arbitrary (non-pow2, unordered) leaf subset: monic,
+    zero exactly on the subset, correct degree, spot value off-domain."""
+    tree = FFTree.build(64, False, 4)
+    idx = [3, 17, 40, 5, 62, 31, 8]  # 7 leaves, unordered
+    zc = fr.to_int(tree.vanish_coeffs_subset(idx))
+    assert len(zc) == len(idx) + 1 and zc[-1] == 1
+    dom = fr.to_int(tree.leaves(0))
+    for j, dv in enumerate(dom):
+        ev = horner(zc, dv)
+        assert (ev == 0) == (j in idx), f"leaf {j}"
+    x0 = 12345678901234567890
+    expect = 1
+    for i in idx:
+        expect = expect * (x0 - dom[i]) % P
+    assert horner(zc, x0) == expect
+
+
 def test_device_z_coeffs_vs_host():
     """The level-synchronous device Karatsuba tree (fftree/polyops.py)
     still matches the host product tree at a small size (it is no
