@@ -73,9 +73,21 @@ def load() -> "ctypes.CDLL | None":
         lib.dv_pt_encode_bulk.argtypes = [u64p, u8p, ctypes.c_int64, u8p]
         lib.dv_tnaf_recode_bulk.argtypes = [u8p, ctypes.c_int64, i8p, i8p]
         lib.dv_tnaf_recode_bulk.restype = ctypes.c_int64
+    except Exception:
+        # any failure (missing toolchain, foreign-arch prebuilt .so, missing
+        # core symbol) falls back to the pure-python host codec
+        _load_failed = True
+        return None
+    # newer exports bind individually: an older .so missing one of them
+    # degrades ONLY that fast path (callers hasattr-check), not the whole
+    # native backend
+    try:
         u32p_ = ctypes.POINTER(ctypes.c_uint32)
         lib.dv_tnaf_recode_masks.argtypes = [u8p, ctypes.c_int64, u32p_, u32p_]
         lib.dv_tnaf_recode_masks.restype = ctypes.c_int64
+    except Exception:
+        pass
+    try:
         i64p = ctypes.POINTER(ctypes.c_int64)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.dv_r1cs_meta.argtypes = [
@@ -88,10 +100,7 @@ def load() -> "ctypes.CDLL | None":
         ]
         lib.dv_r1cs_parse.restype = ctypes.c_int
     except Exception:
-        # any failure (missing toolchain, foreign-arch prebuilt .so, missing
-        # symbol) falls back to the pure-python host codec
-        _load_failed = True
-        return None
+        pass
     _lib = lib
     return lib
 
@@ -139,7 +148,7 @@ def r1cs_parse_rows(data, rows_off: int):
     None when the native backend is unavailable.
     """
     lib = load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "dv_r1cs_meta"):
         return None
     raw = np.frombuffer(data, dtype=np.uint8)
     n_rows = ctypes.c_int64()

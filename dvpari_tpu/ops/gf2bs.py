@@ -140,6 +140,15 @@ def _reduce_wide(w: jnp.ndarray) -> jnp.ndarray:
 _PAD8 = 240  # M padded to full 8-row vector registers
 _ACC8 = 472  # 8*29 + 240: every window slice [8w : 8w+240] is vreg-aligned
 
+# Multiply formulation: "skew" (broadcast partial products + anti-
+# diagonal reduction via a pad/reshape skew -- three big tensor ops per
+# phase, no read-modify-write) or "concat" (per-window accumulator
+# updates via concatenated slices).  Same math; skew avoids the 240
+# whole-accumulator copies the concat form implies.  The Pallas ladder
+# temporarily forces "concat" while tracing (skew's (30, 240, C)
+# transient would not fit VMEM beside the window table).
+MUL_IMPL = "skew"
+
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Schoolbook bit-plane multiply, 8-phase aligned-window form.
@@ -151,6 +160,12 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     is static full-tile AND/XOR, which both XLA and Mosaic lower to
     dense VPU code.
     """
+    if MUL_IMPL == "skew":
+        return _mul_skew(a, b)
+    return _mul_concat(a, b)
+
+
+def _mul_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     cols = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (M, *cols))
     b = jnp.broadcast_to(b, (M, *cols))
@@ -171,6 +186,53 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             if 8 * w + _PAD8 < _ACC8:
                 parts.append(acc[8 * w + _PAD8 :])
             acc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if t:
+            acc = jnp.concatenate(
+                [jnp.zeros((t, *cols), jnp.uint32), acc[: _ACC8 - t]], axis=0
+            )
+        total = total ^ acc
+    return _reduce_wide(total[:WIDE])
+
+
+def _mul_skew(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Aligned-window multiply as broadcast + skewed diagonal reduction.
+
+    Per phase t, ALL 30 window partial products form one broadcast AND
+    `P[w] = b240 & a[8w + t]` of shape (30, 240, C); the placement
+    `acc[vreg k] = XOR_w P[w][vreg k - w]` is an anti-diagonal sum,
+    realized by padding the vreg axis 30 -> 60 and re-viewing the flat
+    (30*60)-vreg buffer with stride 59: element (w, k) of the
+    (30, 59)-vreg view is P_pad[w][k - w], with out-of-range diagonals
+    landing in the zero padding.  Three large tensor ops per phase --
+    no per-window accumulator rebuilds.
+    """
+    cols = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (M, *cols))
+    b = jnp.broadcast_to(b, (M, *cols))
+    zcols = jnp.zeros((_PAD8 - M, *cols), jnp.uint32)
+    b240 = jnp.concatenate([b, zcols], axis=0)  # (240, C)
+
+    total = jnp.zeros((_ACC8, *cols), dtype=jnp.uint32)
+    for t in range(8):
+        a_t = a[t::8]  # (30 or 29, C): window selector rows
+        W = a_t.shape[0]
+        # P[w] = b240 & a_t[w]: one broadcast AND, (W, 30, 8, C) vregs
+        P = (b240[None] & a_t[:, None]).reshape(W, 30, 8, *cols)
+        P = jnp.pad(P, ((0, 0), (0, 30), (0, 0)) + ((0, 0),) * len(cols))
+        flat = P.reshape(W * 60, 8, *cols)
+        k59 = flat[: 59 * W].reshape(W, 59, 8, *cols)
+        # XOR-fold the W windows (log-depth)
+        n = W
+        while n > 1:
+            half = n // 2
+            folded = k59[:half] ^ k59[half : 2 * half]
+            k59 = (
+                jnp.concatenate([folded, k59[2 * half :]], axis=0)
+                if n % 2
+                else folded
+            )
+            n = k59.shape[0]
+        acc = k59[0].reshape(59 * 8, *cols)  # (472, C)
         if t:
             acc = jnp.concatenate(
                 [jnp.zeros((t, *cols), jnp.uint32), acc[: _ACC8 - t]], axis=0

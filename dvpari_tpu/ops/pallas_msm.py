@@ -43,16 +43,23 @@ def _ladder_kernel(idx_ref, ng_ref, table_ref, out_ref):
         t = bs.cneg(t, sw)
         return bs.add(acc, t)
 
-    # narrow multiply stacks while tracing this kernel: the ladder must
-    # fit VMEM alongside its 4 MB window table
+    # narrow multiply stacks + concat-form multiply while tracing this
+    # kernel: the ladder must fit VMEM alongside its 4 MB window table
+    # (the skew multiply's (30, 240, C) broadcast transient would not).
+    # NOTE: module-global toggles are safe only because jax tracing is
+    # single-threaded per process; if concurrent tracing ever lands,
+    # thread these through mul()'s signature instead.
     prev = bs.MUL_CHUNK
+    prev_impl = F.MUL_IMPL
     bs.MUL_CHUNK = 1
+    F.MUL_IMPL = "concat"
     try:
         out_ref[...] = jax.lax.fori_loop(
             0, N_WINDOWS, body, bs.infinity((C,))
         )
     finally:
         bs.MUL_CHUNK = prev
+        F.MUL_IMPL = prev_impl
 
 
 def _ladder_tile(idx_t, ng_t, tab_t, interpret):

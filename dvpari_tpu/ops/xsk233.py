@@ -413,9 +413,17 @@ def _msm_limbs_bitsliced(
     if callable(planes):
         planes = planes()
     if planes is None:
+        if callable(points):
+            points = points()
         planes = bs.pack_points(np.asarray(jax.device_get(points)))
     planes = np.asarray(planes)
     C = planes.shape[-1]
+    n = int(scalars.shape[-1])
+    want_c = -(-n // 32)
+    assert C == want_c, (
+        f"bit-plane sidecar has {C} columns for {n} scalars "
+        f"(expected {want_c}): stale .planes.npz?"
+    )
     ck = _msm_chunk_cols()
     if C <= ck:
         oh, ng = recode_masks_bulk(canon)
@@ -449,17 +457,27 @@ def msm_limbs(
     to the bit-sliced fused Pallas ladder; with a mesh, points and window
     codes are sharded over the devices and the per-shard partials fold
     over ICI (the reference's rayon map+reduce, src/curve.rs:141-158,
-    spread over chips instead of threads)."""
+    spread over chips instead of threads).
+
+    `points` may be a zero-arg callable (lazy loader): when the
+    bit-sliced path consumes a pre-packed `planes` sidecar, the word
+    layout is never materialized at all -- at production scale that
+    skips gigabytes of redundant SRS loading per MSM."""
     import os
 
+    n = int(scalars.shape[-1])
     impl = os.environ.get("DVPARI_MSM_IMPL", "auto")
     if (
         mesh is None
         and impl in ("auto", "bs")
-        and (impl == "bs" or points.shape[-1] >= _BS_MIN_N)
-        and jax.default_backend() != "cpu"
+        and (impl == "bs" or n >= _BS_MIN_N)
+        # DVPARI_MSM_IMPL=bs forces the path even on CPU (tests stub the
+        # Pallas entry); "auto" never takes it off-TPU
+        and (impl == "bs" or jax.default_backend() != "cpu")
     ):
         return _msm_limbs_bitsliced(scalars, points, planes)
+    if callable(points):
+        points = points()
     idx, sgn = recode_limbs(scalars)
     if mesh is None:
         return msm_frob_jit(idx, sgn, points)
@@ -539,7 +557,7 @@ def mulgen_limbs(scalars: jnp.ndarray) -> jnp.ndarray:
     if (
         impl in ("auto", "bs")
         and (impl == "bs" or n >= _BS_MIN_N)
-        and jax.default_backend() != "cpu"
+        and (impl == "bs" or jax.default_backend() != "cpu")
     ):
         global _strongnorm_jit
         from dvpari_tpu.ops import fr
@@ -559,7 +577,7 @@ def mulgen_limbs(scalars: jnp.ndarray) -> jnp.ndarray:
             s1 = min(s0 + 32 * ck, n)
             oh, ng = recode_masks_bulk(canon[:, s0:s1])
             out = pallas_msm.mulgen_packed(jnp.asarray(oh), jnp.asarray(ng), table)
-            chunks.append((out, -(s1 - s0) // -32))
+            chunks.append((out, -(-(s1 - s0) // 32)))
         planes = np.concatenate(
             [np.asarray(jax.device_get(p))[..., :cols] for p, cols in chunks],
             axis=-1,

@@ -206,10 +206,8 @@ def ladder(idx_masks: jnp.ndarray, neg_masks: jnp.ndarray, table: jnp.ndarray) -
     return jax.lax.fori_loop(0, N_WINDOWS, body, infinity(cols))
 
 
-def fold_sum(p: jnp.ndarray) -> jnp.ndarray:
-    """Group-sum every packed point: pairwise column fold + in-word bit
-    fold.  Returns (3, 233) planes with the total in bit 0 of column 0."""
-    flat = p.reshape(3, M, -1)
+def _fold_cols_core(flat: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise group-fold across the last axis: (3, 233, C) -> (3, 233, 1)."""
     C = flat.shape[-1]
     while C > 1:
         half = C // 2
@@ -218,6 +216,13 @@ def fold_sum(p: jnp.ndarray) -> jnp.ndarray:
             folded = jnp.concatenate([folded, flat[..., 2 * half :]], axis=-1)
         flat = folded
         C = flat.shape[-1]
+    return flat
+
+
+def fold_sum(p: jnp.ndarray) -> jnp.ndarray:
+    """Group-sum every packed point: pairwise column fold + in-word bit
+    fold.  Returns (3, 233) planes with the total in bit 0 of column 0."""
+    flat = _fold_cols_core(p.reshape(3, M, -1))
     # fold the 32 points inside the remaining uint32 column
     for sh in (16, 8, 4, 2, 1):
         flat = add(flat, flat >> sh)
@@ -234,21 +239,7 @@ def fold_cols(p: jnp.ndarray) -> jnp.ndarray:
     carry unrelated partial sums and stay slot-parallel garbage)."""
     global _fold_cols_jit
     if _fold_cols_jit is None:
-
-        def _core(flat):
-            C = flat.shape[-1]
-            while C > 1:
-                half = C // 2
-                folded = add(flat[..., :half], flat[..., half : 2 * half])
-                if C % 2:
-                    folded = jnp.concatenate(
-                        [folded, flat[..., 2 * half :]], axis=-1
-                    )
-                flat = folded
-                C = flat.shape[-1]
-            return flat[..., 0]
-
-        _fold_cols_jit = jax.jit(_core)
+        _fold_cols_jit = jax.jit(lambda flat: _fold_cols_core(flat)[..., 0])
     return _fold_cols_jit(p)
 
 

@@ -193,10 +193,10 @@ def prove(
 
     with phase("prove.msm_gm", n=n_wires):
         gm_path = os.path.join(cache_dir, art.SRS_G_M)
-        g_m = art.read_point_vec(gm_path)
-        assert g_m.shape[-1] == n_wires, (g_m.shape, n_wires)
+        assert art.point_vec_len(gm_path) == n_wires
+        # lazy loaders: the bit-sliced path reads only the planes sidecar
         msm_gm = xsk233.msm_limbs(
-            w_dev, g_m, mesh=mesh,
+            w_dev, lambda: art.read_point_vec(gm_path), mesh=mesh,
             planes=lambda: art.read_point_vec_planes(gm_path),
         )
 
@@ -216,9 +216,9 @@ def prove(
 
     with phase("prove.msm_gq", n=m):
         gq_path = os.path.join(cache_dir, art.SRS_G_Q)
-        g_q = art.read_point_vec(gq_path)
+        assert art.point_vec_len(gq_path) == m
         msm_q = xsk233.msm_limbs(
-            q2, g_q, mesh=mesh,
+            q2, lambda: art.read_point_vec(gq_path), mesh=mesh,
             planes=lambda: art.read_point_vec_planes(gq_path),
         )
 
@@ -252,24 +252,28 @@ def prove(
             os.path.join(cache_dir, name)
             for name in (art.SRS_G_K_0, art.SRS_G_K_1, art.SRS_G_K_2)
         ]
-        g_k_all = jnp.concatenate(
-            [art.read_point_vec(p) for p in gk_paths], axis=-1
-        )
+        seg_lens = [art.point_vec_len(p) for p in gk_paths]
+        assert sum(seg_lens) == 4 * m, (seg_lens, m)
+
+        def _gk_points():
+            return jnp.concatenate(
+                [art.read_point_vec(p) for p in gk_paths], axis=-1
+            )
+
         # the three g_k segments are 2m/m/m long: concatenated planes
         # stay slot-aligned because each segment is a multiple of 32
         # at production sizes; fall back to fresh packing otherwise
         def _gk_planes():
             import numpy as _np
 
-            segs = [art.read_point_vec(p) for p in gk_paths]
-            if all(int(s.shape[-1]) % 32 == 0 for s in segs):
+            if all(n % 32 == 0 for n in seg_lens):
                 return _np.concatenate(
                     [art.read_point_vec_planes(p) for p in gk_paths], axis=-1
                 )
             return None
 
         kzg_k = xsk233.msm_limbs(
-            s_k_all, g_k_all, mesh=mesh, planes=_gk_planes
+            s_k_all, _gk_points, mesh=mesh, planes=_gk_planes
         )
 
     return Proof(

@@ -236,6 +236,9 @@ def add_vandermonde_matrix(inst: R1CSInstance, dom) -> None:
     """
     assert not inst.has_vandermonde
     m, k = inst.num_constraints, inst.num_public_inputs
+    if k == 0:  # no public inputs: D has zero columns, nothing to splice
+        inst.has_vandermonde = True
+        return
     if isinstance(dom, (list, tuple)):
         dom = jnp.asarray(fr.from_int(dom))
     assert dom.shape[-1] == m

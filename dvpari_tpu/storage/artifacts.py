@@ -116,6 +116,11 @@ def write_point_vec(path: str, points: jnp.ndarray) -> None:
     """
     from dvpari_tpu import native
 
+    # a rewrite invalidates any bit-plane sidecar from a previous vector
+    # at this path (it is re-written below only on the native large-n path)
+    if os.path.exists(path + ".planes.npz"):
+        os.remove(path + ".planes.npz")
+
     if native.available():
         arr = np.asarray(jax.device_get(points))
         n = arr.shape[-1]
@@ -190,6 +195,12 @@ def _write_point_sidecar(path: str, affine: list) -> None:
             Y[:, j] = gf2.from_int(p[1])
             Z[0, j] = 1
     np.savez(path + ".fast.npz", X=X, Y=Y, Z=Z)
+
+
+def point_vec_len(path: str) -> int:
+    """Record count from the u64-LE header (no payload read)."""
+    with open(path, "rb") as f:
+        return struct.unpack("<Q", f.read(8))[0]
 
 
 def read_point_vec_planes(path: str) -> np.ndarray:

@@ -24,8 +24,9 @@ import ctypes
 import ctypes.util
 
 # 512 bits per coefficient slot.  A level multiply of reduced inputs
-# yields coefficients < n * p^2 < 2^(466 + 60): no slot overflow for
-# any domain below 2^60 leaves.
+# yields coefficients < (n/2 + 1) * p^2 ~ 2^(461.4 + log2 n): the slot
+# overflows at n ~ 2^50, so any domain below 2^48 leaves is safe with
+# 2x margin (guarded in vanishing_coeffs).
 PAD_BYTES = 64
 PAD_BITS = 8 * PAD_BYTES
 
@@ -117,7 +118,7 @@ def vanishing_coeffs(domain: "list[int]", p: int) -> "list[int]":
 
     Any domain size >= 1 (an odd node carries up a level unchanged)."""
     n = len(domain)
-    assert n >= 1
+    assert 1 <= n < (1 << 48), "coefficient slots overflow past ~2^50 leaves"
     # leaf nodes: (x - d) packed as two coefficient slots; each node
     # tracks its leaf count (non-pow2 trees have ragged nodes)
     nodes = [(_pack([(p - d) % p, 1]), 1) for d in domain]

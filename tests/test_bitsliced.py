@@ -38,6 +38,25 @@ def test_field_ops_vs_host():
         assert got_add[j] == a_int[j] ^ b_int[j]
 
 
+def test_mul_impls_agree():
+    """Both multiply formulations (skew diagonal-reduction and concat
+    window-accumulate) match the host oracle bit-for-bit."""
+    a_int = rand_elems(32)
+    b_int = rand_elems(32)
+    a, b = jnp.asarray(F.from_int(a_int)), jnp.asarray(F.from_int(b_int))
+    prev = F.MUL_IMPL
+    try:
+        results = {}
+        for impl in ("skew", "concat"):
+            F.MUL_IMPL = impl
+            results[impl] = F.to_int(F.mul(a, b))
+    finally:
+        F.MUL_IMPL = prev
+    for j in range(32):
+        want = gh.mul_int(a_int[j], b_int[j])
+        assert results["skew"][j] == results["concat"][j] == want
+
+
 def test_field_inv():
     a_int = rand_elems(32)
     a_int[0] = 0  # inv(0) = 0 convention
@@ -156,6 +175,31 @@ def test_msm_chunked_pipeline(monkeypatch):
     got_aff = xsk233.to_affine_int(jnp.asarray(got))
     expect_aff = xsk233.to_affine_int(jnp.asarray(expect))
     assert got_aff == expect_aff and expect_aff is not None
+
+
+def test_mulgen_chunked_ragged_tail(monkeypatch):
+    """Chunked fixed-base mulgen with a ragged final chunk (regression:
+    the tail's column count was floor- instead of ceil-divided, silently
+    dropping up to 31 points).  Pallas entry stubbed with the XLA
+    mulgen; DVPARI_MSM_IMPL=bs forces the chunked path on CPU."""
+    import jax
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import pallas_msm
+
+    monkeypatch.setattr(
+        pallas_msm, "mulgen_packed", lambda oh, ng, tab: bs.mulgen_packed(oh, ng, tab)
+    )
+    monkeypatch.setenv("DVPARI_MSM_IMPL", "bs")
+    monkeypatch.setenv("DVPARI_MSM_CHUNK_COLS", "2")  # 64-point chunks
+    n = 150  # chunks: 64 + 64 + ragged 22 (non-multiple of 32)
+    ks = [int.from_bytes(RNG.bytes(28), "little") % host.R for _ in range(n)]
+    ks[100] = 0
+    out = xsk233.mulgen_limbs(jnp.asarray(fr.from_int(ks)))
+    assert out.shape == (3, 8, n)
+    got = xsk233.to_affine_int(out)
+    for j in (0, 63, 64, 99, 100, 127, 128, 149):  # chunk edges + tail
+        expect = host.smul(ks[j], (host.GX, host.GY)) if ks[j] else None
+        assert got[j] == expect, f"slot {j}"
 
 
 @pytest.mark.parametrize("n", [5, 32, 70])

@@ -58,6 +58,19 @@ def test_vandermonde_rewrite():
         assert (c_before[i] - i_val) % fr.P == c_after[i]
 
 
+def test_vandermonde_zero_public_inputs():
+    """k = 0 is a no-op rewrite (D has zero columns), not a crash."""
+    rng = random.Random(6)
+    inst = gnark.instance_from_dump(toy_r1cs_dump(), 0)
+    w = jnp.asarray(fr.from_int([1] + list(sum(toy_witness(), []))))
+    cd = gnark.coeffs_device(inst)
+    before = fr.to_int(gnark.eval_matrix(inst.o, cd, w))
+    gnark.add_vandermonde_matrix(inst, [rng.randrange(fr.P) for _ in range(8)])
+    assert inst.has_vandermonde
+    after = fr.to_int(gnark.eval_matrix(inst.o, gnark.coeffs_device(inst), w))
+    assert before == after
+
+
 def test_sparse_accumulate_long_segment_exact():
     # overflow regression: a single segment with >258k terms used to
     # overflow raw int32 limb accumulation silently (ADVICE r1: srs.py
