@@ -27,8 +27,30 @@ N_POINTS = int(os.environ.get("DVPARI_BENCH_N", 1 << 18))
 REFERENCE_POINTS_PER_SEC = 20_000.0
 
 
+def _tpu_relay_alive() -> bool:
+    """True if any local TPU-tunnel relay port accepts connections.
+    jax.devices() blocks forever when the axon relay is dead; failing
+    fast keeps the bench harness from hanging."""
+    import socket
+
+    for port in (8082, 8083, 8087, 8092, 8093, 8097, 8102, 8103, 8107,
+                 8112, 8113, 8117):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main():
     import random
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("", "axon") and not _tpu_relay_alive():
+        print("bench: TPU relay unreachable (no tunnel port listening); "
+              "set JAX_PLATFORMS=cpu for a CPU run", file=sys.stderr)
+        raise SystemExit(3)
 
     import jax
     import jax.numpy as jnp
