@@ -146,8 +146,12 @@ _ACC8 = 472  # 8*29 + 240: every window slice [8w : 8w+240] is vreg-aligned
 # updates via concatenated slices).  Same math; skew avoids the 240
 # whole-accumulator copies the concat form implies.  The Pallas ladder
 # temporarily forces "concat" while tracing (skew's (30, 240, C)
-# transient would not fit VMEM beside the window table).
-MUL_IMPL = "skew"
+# transient would not fit VMEM beside the window table).  None = auto:
+# "concat" on TPU (hardware-proven), "skew" elsewhere -- override with
+# DVPARI_GF2BS_MUL for on-chip A/B.
+import os as _os
+
+MUL_IMPL: "str | None" = _os.environ.get("DVPARI_GF2BS_MUL") or None
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -160,7 +164,12 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     is static full-tile AND/XOR, which both XLA and Mosaic lower to
     dense VPU code.
     """
-    if MUL_IMPL == "skew":
+    impl = MUL_IMPL
+    if impl is None:
+        # conservative on accelerators (concat is hardware-proven; the
+        # axon TPU backend reports its own platform name, so gate on cpu)
+        impl = "skew" if jax.default_backend() == "cpu" else "concat"
+    if impl == "skew":
         return _mul_skew(a, b)
     return _mul_concat(a, b)
 
