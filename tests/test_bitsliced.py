@@ -148,6 +148,10 @@ def test_mulgen_fixed_base_vs_host():
         assert _to_affine(planes_np, j) is None
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DVPARI_SLOW_TESTS"),
+    reason="~8 min CPU compile (word-sliced oracle); set DVPARI_SLOW_TESTS=1",
+)
 def test_msm_chunked_pipeline(monkeypatch):
     """The chunked (pipelined) bit-sliced MSM orchestration -- column
     slicing, ragged tail, per-chunk recode, fold_cols combine -- must
