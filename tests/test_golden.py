@@ -90,6 +90,21 @@ def test_lagrange_at_tau_pinned_and_bruteforce(tree2n):
         assert ltau_i[i] == num * pow(den, fr.P - 2, fr.P) % fr.P
 
 
+def test_point_wire_format_pinned():
+    """The 30-byte point encoding (docs/WIRE_FORMAT.md; PARITY delta 1)
+    is OUR wire format: SRS artifact files and proof bytes depend on it,
+    so its bytes are pinned here.  Each vector also decodes back to the
+    same point with validity=True."""
+    from dvpari_tpu.utils import xsk233_host as host
+
+    for k, hexenc in G.POINT_ENC.items():
+        p = host.smul(k, (host.GX, host.GY)) if k else None
+        enc = host.encode(p)
+        assert enc.hex() == hexenc, k
+        dec, valid = host.decode(enc)
+        assert valid and dec == p, k
+
+
 def test_transcript_alpha_pinned():
     t = Transcript()
     t.srs_hash()
