@@ -13,4 +13,6 @@ echo "=== zpoly 2^18 (enter-based device check) ==="
 timeout 7200 python scripts/zpoly_tpu.py 18 2>&1 | tee /tmp/sweep_zpoly18.log | grep -Ev "^WARNING"
 echo "=== bench (2^18 e2e MSM) ==="
 timeout 3600 python bench.py 2>&1 | tee /tmp/sweep_bench.log | grep -Ev "^WARNING"
+echo "=== scale e2e 2^20 (VERDICT item 3 target; runs last) ==="
+timeout 14400 python scripts/scale_e2e_tpu.py 20 2>&1 | tee /tmp/sweep_scale20.log | grep -Ev "^WARNING"
 echo "SWEEP COMPLETE"

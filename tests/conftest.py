@@ -31,3 +31,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # (+prefer-no-scatter) the loader rejects on reload -> SIGSEGV; cache the
 # compile front-end only.
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
+import contextlib
+
+import pytest
+
+
+@pytest.fixture
+def no_persistent_compile_cache():
+    """Disable the persistent compile cache for one test.
+
+    Some SPMD executables (sharded prove / dryrun_multichip) still
+    produce cache entries this jaxlib SIGSEGVs on when reloading
+    (get_executable_and_time), even with enable_xla_caches="none" --
+    one poisoned entry then kills every later suite run.  Tests that
+    compile such programs opt out of the cache entirely."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -61,7 +61,7 @@ def test_msm_bs_sharded_matches_host():
     assert xsk233.to_affine_int(jnp.asarray(got)) == expect
 
 
-def test_graft_entry_contract():
+def test_graft_entry_contract(no_persistent_compile_cache):
     import __graft_entry__ as g
 
     fn, args = g.entry()

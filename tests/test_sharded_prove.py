@@ -22,7 +22,7 @@ from dvpari_tpu.parallel.mesh import make_mesh
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_prove_matches_unsharded():
+def test_sharded_prove_matches_unsharded(no_persistent_compile_cache):
     cache = tempfile.mkdtemp(prefix="dvpari_pytest_shard_")
     with open(os.path.join(cache, art.R1CS_CONSTRAINTS_FILE), "wb") as f:
         f.write(toy_r1cs_dump())
