@@ -446,6 +446,40 @@ def _msm_limbs_bitsliced(
     return jnp.asarray(bs.extract_point(res, 0))
 
 
+def _msm_limbs_bs_sharded(scalars, points, planes, mesh) -> jnp.ndarray:
+    """Bit-sliced MSM across the device mesh: native recode-to-masks on
+    host, then plane columns shard over the devices and each shard runs
+    the fused engine (Pallas on TPU meshes; see
+    parallel/sharded.py:msm_bs_sharded).  The multi-chip form of the
+    production path -- the reference's rayon map+reduce
+    (src/curve.rs:141-158) spread over chips."""
+    global _strongnorm_jit
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import xsk233_bs as bs
+    from dvpari_tpu.ops.tnaf import recode_masks_bulk
+    from dvpari_tpu.parallel.sharded import msm_bs_sharded
+
+    if _strongnorm_jit is None:
+        _strongnorm_jit = jax.jit(fr.strong_normalize)
+    canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
+    if callable(planes):
+        planes = planes()
+    if planes is None:
+        if callable(points):
+            points = points()
+        planes = bs.pack_points(np.asarray(jax.device_get(points)))
+    planes = np.asarray(planes)
+    n = int(scalars.shape[-1])
+    assert planes.shape[-1] == -(-n // 32), (
+        f"bit-plane sidecar has {planes.shape[-1]} columns for {n} scalars"
+    )
+    oh, ng = recode_masks_bulk(canon)
+    res = msm_bs_sharded(
+        jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes), mesh
+    )
+    return jnp.asarray(bs.extract_point(res, 0))
+
+
 def msm_limbs(
     scalars: jnp.ndarray, points: jnp.ndarray, mesh=None, planes=None
 ) -> jnp.ndarray:
@@ -467,15 +501,17 @@ def msm_limbs(
 
     n = int(scalars.shape[-1])
     impl = os.environ.get("DVPARI_MSM_IMPL", "auto")
-    if (
-        mesh is None
-        and impl in ("auto", "bs")
+    bs_eligible = (
+        impl in ("auto", "bs")
         and (impl == "bs" or n >= _BS_MIN_N)
         # DVPARI_MSM_IMPL=bs forces the path even on CPU (tests stub the
         # Pallas entry); "auto" never takes it off-TPU
         and (impl == "bs" or jax.default_backend() != "cpu")
-    ):
+    )
+    if mesh is None and bs_eligible:
         return _msm_limbs_bitsliced(scalars, points, planes)
+    if mesh is not None and bs_eligible:
+        return _msm_limbs_bs_sharded(scalars, points, planes, mesh)
     if callable(points):
         points = points()
     idx, sgn = recode_limbs(scalars)

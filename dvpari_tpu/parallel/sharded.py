@@ -19,7 +19,7 @@ collective-permutes for butterfly pairs - the idiomatic TPU approach
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -29,14 +29,14 @@ from jax.experimental.shard_map import shard_map
 from dvpari_tpu.ops import xsk233
 from dvpari_tpu.parallel.mesh import SHARD_AXIS
 
+# The jitted sharded programs are cached PER MESH (meshes hash by device
+# assignment): rebuilding the shard_map/jit closures on every call would
+# miss jax's compile cache each time -- three recompiles per sharded
+# prove() -- since jit keys on function identity.
 
-def msm_sharded(bits: jnp.ndarray, points: jnp.ndarray, mesh) -> jnp.ndarray:
-    """sum_i [k_i] P_i with points/scalars sharded over the mesh.
 
-    bits: uint32[232, n]; points: uint32[3, 8, n]; n divisible by #devices.
-    Returns the (3, 8) total.
-    """
-
+@lru_cache(maxsize=None)
+def _msm_sharded_fn(mesh):
     @partial(
         shard_map,
         mesh=mesh,
@@ -52,7 +52,16 @@ def msm_sharded(bits: jnp.ndarray, points: jnp.ndarray, mesh) -> jnp.ndarray:
         partials = local(b, p)  # (3, 8, ndev)
         return xsk233.reduce_sum(partials)
 
-    return run(bits, points)
+    return run
+
+
+def msm_sharded(bits: jnp.ndarray, points: jnp.ndarray, mesh) -> jnp.ndarray:
+    """sum_i [k_i] P_i with points/scalars sharded over the mesh.
+
+    bits: uint32[232, n]; points: uint32[3, 8, n]; n divisible by #devices.
+    Returns the (3, 8) total.
+    """
+    return _msm_sharded_fn(mesh)(bits, points)
 
 
 def msm_bs_sharded(idx_masks, ng_masks, planes, mesh) -> jnp.ndarray:
@@ -68,8 +77,6 @@ def msm_bs_sharded(idx_masks, ng_masks, planes, mesh) -> jnp.ndarray:
     uint32[3, 233, C].  Pads C to a multiple of the device count
     (zero masks select no table entry -> infinity; safe).
     """
-    from dvpari_tpu.ops import xsk233_bs as bs
-
     ndev = mesh.devices.size
     C = planes.shape[-1]
     pad = -C % ndev
@@ -77,6 +84,22 @@ def msm_bs_sharded(idx_masks, ng_masks, planes, mesh) -> jnp.ndarray:
         idx_masks = jnp.pad(idx_masks, ((0, 0), (0, 0), (0, pad)))
         ng_masks = jnp.pad(ng_masks, ((0, 0), (0, pad)))
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad)))
+    return _msm_bs_sharded_fn(mesh)(idx_masks, ng_masks, planes)
+
+
+@lru_cache(maxsize=None)
+def _msm_bs_sharded_fn(mesh):
+    import os
+
+    from dvpari_tpu.ops import xsk233_bs as bs
+
+    # On a TPU mesh each shard runs the fused Pallas ladder (the
+    # single-chip production engine); elsewhere (CPU test mesh) the XLA
+    # bit-sliced core.  DVPARI_SHARD_PALLAS=0 forces XLA on TPU too.
+    use_pallas = (
+        next(iter(mesh.devices.flat)).platform == "tpu"
+        and os.environ.get("DVPARI_SHARD_PALLAS", "1") != "0"
+    )
 
     @partial(
         shard_map,
@@ -90,18 +113,21 @@ def msm_bs_sharded(idx_masks, ng_masks, planes, mesh) -> jnp.ndarray:
         check_rep=False,
     )
     def local(oh, ng, pl):
+        if use_pallas:
+            from dvpari_tpu.ops import pallas_msm
+
+            return pallas_msm.msm_packed(oh, ng, pl)[..., None]
         return bs._msm_core(oh, ng, pl)[..., None]  # (3, 233, 1) per shard
 
     @jax.jit
     def run(oh, ng, pl):
         return bs.fold_cols(local(oh, ng, pl))  # (3, 233), answer in bit 0
 
-    return run(idx_masks, ng_masks, planes)
+    return run
 
 
-def msm_frob_sharded(idx, sgn, points, mesh) -> jnp.ndarray:
-    """tau-NAF MSM across the mesh (fast path)."""
-
+@lru_cache(maxsize=None)
+def _msm_frob_sharded_fn(mesh):
     @partial(
         shard_map,
         mesh=mesh,
@@ -116,4 +142,9 @@ def msm_frob_sharded(idx, sgn, points, mesh) -> jnp.ndarray:
     def run(i, s, p):
         return xsk233.reduce_sum(local(i, s, p))
 
-    return run(idx, sgn, points)
+    return run
+
+
+def msm_frob_sharded(idx, sgn, points, mesh) -> jnp.ndarray:
+    """tau-NAF MSM across the mesh (fast path)."""
+    return _msm_frob_sharded_fn(mesh)(idx, sgn, points)

@@ -199,6 +199,7 @@ def prove(
             w_dev, lambda: art.read_point_vec(gm_path), mesh=mesh,
             planes=lambda: art.read_point_vec_planes(gm_path),
         )
+        del w_dev
 
     transcript = Transcript()
     transcript.circuit_info_hash(inst)
@@ -209,10 +210,15 @@ def prove(
         b2 = tree2n.extend(b_vals, "S1", 0)
         c2 = tree2n.extend(c_vals, "S1", 0)
         i2 = tree2n.extend(i_vals, "S1", 0)
+    # c is dead past its extend; at 2^23 every (20, m) vector is ~640 MB
+    # of HBM, so drop references as the reference frees mid-pipeline
+    # (clear_fftree discipline, src/srs.rs:86-101)
+    del c_vals
 
     with phase("prove.quotient"):
         z2inv = art.read_fr_vec(os.path.join(cache_dir, art.Z_VALS2_INV))
         r2, q2 = _jit_quotient(a2, b2, i2, c2, z2inv)
+        del a2, b2, c2, i2, z2inv
 
     with phase("prove.msm_gq", n=m):
         gq_path = os.path.join(cache_dir, art.SRS_G_Q)
@@ -221,6 +227,7 @@ def prove(
             q2, lambda: art.read_point_vec(gq_path), mesh=mesh,
             planes=lambda: art.read_point_vec_planes(gq_path),
         )
+        del q2
 
     commit_p = _jit_point_add(msm_q, msm_gm)
     commit_p_bytes = host.encode(xsk233.to_affine_int(commit_p))
@@ -246,6 +253,7 @@ def prove(
         s_k_all = _jit_k_scalars(
             dom, dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev
         )
+        del a_vals, b_vals, i_vals, r2
 
     with phase("prove.msm_gk", n=4 * m):
         gk_paths = [

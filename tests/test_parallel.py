@@ -61,6 +61,53 @@ def test_msm_bs_sharded_matches_host():
     assert xsk233.to_affine_int(jnp.asarray(got)) == expect
 
 
+def test_msm_limbs_routes_bs_sharded(monkeypatch):
+    """msm_limbs(mesh=...) with the bit-sliced impl must take the
+    sharded production path: strong-normalize + native recode-to-masks
+    + plane packing, then parallel.sharded.msm_bs_sharded.  The mesh
+    engine itself is stubbed here (its numerics are covered by
+    test_msm_bs_sharded_matches_host and on hardware); this pins the
+    plumbing so prove(mesh=...) cannot silently fall back to the
+    word-sliced ladder."""
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import xsk233_bs as bs
+    from dvpari_tpu.parallel import sharded
+
+    monkeypatch.setenv("DVPARI_MSM_IMPL", "bs")
+    mesh = make_mesh(8)
+    n = 40  # ragged: 2 columns of 32
+    ks = [random.Random(5).randrange(1, host.R) for _ in range(n)]
+    pts = np.asarray(
+        jax.device_get(
+            jnp.broadcast_to(xsk233.generator().reshape(3, 8, 1), (3, 8, n))
+        )
+    )
+    gen_planes = bs.pack_points(pts[:, :, :32])[..., 0]
+
+    seen = {}
+
+    def fake_engine(oh, ng, planes, m):
+        seen["shapes"] = (oh.shape, ng.shape, planes.shape)
+        assert m is mesh
+        return jnp.asarray(gen_planes)
+
+    monkeypatch.setattr(sharded, "msm_bs_sharded", fake_engine)
+    out = xsk233.msm_limbs(
+        jnp.asarray(fr.from_int(ks)), jnp.asarray(pts), mesh=mesh
+    )
+    from dvpari_tpu.ops.tnaf import N_WINDOWS, TABLE_SIZE
+
+    assert seen["shapes"] == (
+        (N_WINDOWS, TABLE_SIZE, 2),
+        (N_WINDOWS, 2),
+        (3, bs.M, 2),
+    )
+    # the stub returned G's planes; the wrapper must hand back its word form
+    assert np.array_equal(
+        np.asarray(jax.device_get(out)), pts[:, :, 0]
+    )
+
+
 def test_graft_entry_contract(no_persistent_compile_cache):
     import __graft_entry__ as g
 
