@@ -109,6 +109,14 @@ def _cmd_verify(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dvpari_tpu")
+    p.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu"],
+        help="pin the jax platform; use cpu when no accelerator tunnel is "
+        "up (the TPU plugin overrides JAX_PLATFORMS, so an env var alone "
+        "cannot force CPU)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     e2e = sub.add_parser("e2e", help="toy-circuit end-to-end round trip")
@@ -141,6 +149,10 @@ def main(argv=None):
     vf.set_defaults(fn=_cmd_verify)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

@@ -224,3 +224,41 @@ def test_msm_vs_wordsliced(n):
     else:
         zi = gh.inv_int(z)
         assert (gh.mul_int(x, zi), gh.mul_int(y, zi)) == expect
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DVPARI_SLOW_TESTS"),
+    reason="~3 min pallas interpret run; set DVPARI_SLOW_TESTS=1",
+)
+def test_pallas_msm_interpret_vs_host():
+    """The PRODUCTION Pallas ladder kernel (ops/pallas_msm.py) run in
+    pallas interpret mode on CPU vs the host oracle: pins the kernel's
+    logic (fori ladder, table masking, cneg, VMEM-narrow multiply
+    toggles) in CI without TPU hardware.  c_tile=2 keeps the interpreted
+    tile small; on hardware the tile is 128 (last block dim rule)."""
+    import jax
+
+    from dvpari_tpu.ops import pallas_msm
+
+    n = 40
+    ks = [int.from_bytes(RNG.bytes(28), "little") % host.R for _ in range(n)]
+    pts = _rand_points(n)
+    idx, sgn = tnaf.recode_scalars(ks)
+    pad = -n % 32
+    idx = np.concatenate([idx, np.zeros((tnaf.N_WINDOWS, pad), idx.dtype)], axis=-1)
+    sgn = np.concatenate([sgn, np.ones((tnaf.N_WINDOWS, pad), sgn.dtype)], axis=-1)
+    oh, ng = bs.digit_masks(np.asarray(idx), np.asarray(sgn))
+    pbs = bs.pack_points(np.asarray(xsk233.from_affine_int(pts)))
+    res = pallas_msm.msm_packed(
+        jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(pbs),
+        c_tile=2, interpret=True,
+    )
+    got = bs.extract_point(np.asarray(jax.device_get(res)), 0)
+    expect = None
+    for k, p in zip(ks, pts):
+        expect = host.add(expect, host.smul(k, p))
+    x = sum(int(got[0, i]) << (32 * i) for i in range(8))
+    y = sum(int(got[1, i]) << (32 * i) for i in range(8))
+    z = sum(int(got[2, i]) << (32 * i) for i in range(8))
+    zi = gh.inv_int(z)
+    assert (gh.mul_int(x, zi), gh.mul_int(y, zi)) == expect
