@@ -101,6 +101,11 @@ def load() -> "ctypes.CDLL | None":
         lib.dv_r1cs_parse.restype = ctypes.c_int
     except Exception:
         pass
+    try:
+        lib.dv_zpoly_coeffs.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+        lib.dv_zpoly_coeffs.restype = ctypes.c_int64
+    except Exception:
+        pass
     _lib = lib
     return lib
 

@@ -113,12 +113,47 @@ def _unpack_reduce(data: bytes, ncoeff: int, p: int) -> "list[int]":
     ]
 
 
+def _vanishing_coeffs_native(domain: "list[int]", p: int) -> "list[int] | None":
+    """OpenMP product tree in the native library (zpoly_native.cpp);
+    None when the native backend or its GMP link is unavailable."""
+    from dvpari_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "dv_zpoly_coeffs"):
+        return None
+    import numpy as np
+
+    n = len(domain)
+    dom = np.frombuffer(
+        b"".join(d.to_bytes(32, "little") for d in domain), dtype=np.uint8
+    ).copy()
+    p_le = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint8).copy()
+    out = np.zeros((n + 1) * 32, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.dv_zpoly_coeffs(
+        dom.ctypes.data_as(u8p), n, p_le.ctypes.data_as(u8p),
+        out.ctypes.data_as(u8p),
+    )
+    if rc != 0:
+        return None
+    raw = out.tobytes()
+    return [
+        int.from_bytes(raw[32 * k : 32 * (k + 1)], "little") for k in range(n + 1)
+    ]
+
+
 def vanishing_coeffs(domain: "list[int]", p: int) -> "list[int]":
     """Coefficients (low-to-high, monic) of prod (x - d) over GF(p).
 
-    Any domain size >= 1 (an odd node carries up a level unchanged)."""
+    Any domain size >= 1 (an odd node carries up a level unchanged).
+    Routed through the native OpenMP tree when available; the ctypes
+    tree below is the fallback (same packing, same math)."""
     n = len(domain)
     assert 1 <= n < (1 << 48), "coefficient slots overflow past ~2^50 leaves"
+    if n >= 64:  # ctypes path is fine (and simpler to trace) for tiny n
+        got = _vanishing_coeffs_native(domain, p)
+        if got is not None:
+            return got
     # leaf nodes: (x - d) packed as two coefficient slots; each node
     # tracks its leaf count (non-pow2 trees have ragged nodes)
     nodes = [(_pack([(p - d) % p, 1]), 1) for d in domain]

@@ -80,3 +80,44 @@ def test_point_vec_artifact_roundtrip(tmp_path):
     os.remove(path + ".fast.npz")
     back2 = art.read_point_vec(path)
     assert xsk233.to_affine_int(back2) == pts
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_zpoly_native_vs_ctypes_tree():
+    """The native OpenMP Kronecker product tree (zpoly_native.cpp) must
+    match the ctypes/GMP tree coefficient-for-coefficient, including
+    odd node counts and zero domain elements."""
+    from dvpari_tpu.utils import kronecker
+
+    lib = native.load()
+    if not hasattr(lib, "dv_zpoly_coeffs"):
+        pytest.skip("zpoly entry not in this .so build")
+    P = 3450873173395281893717377931138512760570940988862252126328087024741343
+    rng = random.Random(23)
+    for n in (1, 2, 3, 64, 67, 200):
+        dom = [rng.randrange(P) for _ in range(n)]
+        if n >= 3:
+            dom[1] = 0
+        got = kronecker._vanishing_coeffs_native(dom, P)
+        assert got is not None
+        expect_nodes = [(kronecker._pack([(P - d) % P, 1]), 1) for d in dom]
+        while len(expect_nodes) > 1:
+            nxt = []
+            for i in range(0, len(expect_nodes) - 1, 2):
+                (da, ma), (db, mb) = expect_nodes[i], expect_nodes[i + 1]
+                m = ma + mb
+                prod = kronecker._mul_bytes(da, db, kronecker.PAD_BYTES * (m + 2))
+                nxt.append(
+                    (kronecker._pack(kronecker._unpack_reduce(prod, m + 1, P)), m)
+                )
+            if len(expect_nodes) % 2:
+                nxt.append(expect_nodes[-1])
+            expect_nodes = nxt
+        expect = kronecker._unpack_reduce(expect_nodes[0][0], n + 1, P)
+        assert got == expect, f"n={n}"
+        # spot property: z(d_i) == 0 for a sampled domain point
+        d = dom[0]
+        acc = 0
+        for c in reversed(expect):
+            acc = (acc * d + c) % P
+        assert acc == 0
