@@ -12,6 +12,14 @@ import os, sys, time
 
 import jax
 
+if os.environ.get("DVPARI_PLATFORM"):
+    # the axon TPU plugin overrides JAX_PLATFORMS; a config update is the
+    # only way to force CPU when the tunnel is down
+    jax.config.update("jax_platforms", os.environ["DVPARI_PLATFORM"])
+    if os.environ["DVPARI_PLATFORM"] == "cpu":
+        # XLA:CPU AOT cache entries self-poison on reload (JOURNAL.md)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("DVPARI_JAX_CACHE", "/tmp/dvpari_jax_cache_tpu"),
