@@ -224,11 +224,12 @@ class FFTree:
             else:
                 from dvpari_tpu.utils import kronecker
 
-                self._zc_cache[d] = jnp.asarray(
-                    fr.from_int(
+                got = kronecker.vanishing_coeffs_limbs(self.leaves(d))
+                if got is None:  # no native zpoly: int-level ctypes tree
+                    got = fr.from_int(
                         kronecker.vanishing_coeffs(fr.to_int(self.leaves(d)), fr.P)
                     )
-                )
+                self._zc_cache[d] = jnp.asarray(got)
         return self._zc_cache[d]
 
     def _z0_inv_odd(self, d: int) -> jnp.ndarray:

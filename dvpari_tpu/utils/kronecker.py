@@ -142,6 +142,56 @@ def _vanishing_coeffs_native(domain: "list[int]", p: int) -> "list[int] | None":
     ]
 
 
+_canon_jit = None
+
+
+def _canon(limbs):
+    """Cached module-level jit of strong_normalize (eager device ops on
+    the TPU backend cause compile storms; see JOURNAL.md)."""
+    global _canon_jit
+    import jax
+
+    if _canon_jit is None:
+        from dvpari_tpu.ops import fr
+
+        _canon_jit = jax.jit(fr.strong_normalize)
+    return _canon_jit(limbs)
+
+
+def vanishing_coeffs_limbs(leaf_limbs) -> "object | None":
+    """Fr limbs int32[20, n] (loose ok) -> canonical coefficient limbs
+    int32[20, n+1] of prod (x - d_i), via the native OpenMP tree with
+    vectorized byte conversion at BOTH ends -- no python-int loops.
+    At 2^23 leaves the from_int/to_int loops around the int-level API
+    cost as much as the tree itself; this path removes them.
+    None when the native backend lacks the zpoly entry."""
+    from dvpari_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "dv_zpoly_coeffs"):
+        return None
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvpari_tpu.ops import fr
+
+    canon = np.asarray(jax.device_get(_canon(jnp.asarray(leaf_limbs))))
+    dom = np.ascontiguousarray(fr.limbs_to_le_bytes(canon, 32))  # (n, 32)
+    n = dom.shape[0]
+    out = np.zeros((n + 1) * 32, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    p_le = np.frombuffer(fr.P.to_bytes(32, "little"), dtype=np.uint8).copy()
+    rc = lib.dv_zpoly_coeffs(
+        dom.ctypes.data_as(u8p), n, p_le.ctypes.data_as(u8p),
+        out.ctypes.data_as(u8p),
+    )
+    if rc != 0:
+        return None
+    wide = fr.limbs_from_be_bytes(out.reshape(n + 1, 32)[:, ::-1])
+    return np.asarray(jax.device_get(_canon(jnp.asarray(wide))))
+
+
 def vanishing_coeffs(domain: "list[int]", p: int) -> "list[int]":
     """Coefficients (low-to-high, monic) of prod (x - d) over GF(p).
 

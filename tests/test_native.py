@@ -121,3 +121,26 @@ def test_zpoly_native_vs_ctypes_tree():
         for c in reversed(expect):
             acc = (acc * d + c) % P
         assert acc == 0
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_zpoly_limbs_path_matches_int_path():
+    """vanishing_coeffs_limbs (vectorized byte conversion both ends)
+    must equal the int-level tree on the same domain, including loose
+    (non-canonical) input limbs."""
+    import jax.numpy as jnp
+
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.utils import kronecker
+
+    lib = native.load()
+    if not hasattr(lib, "dv_zpoly_coeffs"):
+        pytest.skip("zpoly entry not in this .so build")
+    rng = random.Random(29)
+    dom = [rng.randrange(fr.P) for _ in range(150)]
+    limbs = jnp.asarray(fr.from_int(dom)) + jnp.asarray(fr.from_int(dom))  # loose 2d
+    two_dom = [2 * d % fr.P for d in dom]
+    got = kronecker.vanishing_coeffs_limbs(limbs)
+    assert got is not None
+    expect = kronecker.vanishing_coeffs(two_dom, fr.P)
+    assert fr.to_int(got) == expect
