@@ -56,9 +56,17 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # Repo-local persistent compile cache: /tmp is wiped between driver
+    # sessions, and cold TPU compiles over the tunnel cost minutes each;
+    # the repo directory survives, so warm compiles carry across rounds.
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("DVPARI_JAX_CACHE", "/tmp/dvpari_jax_cache_tpu"),
+        os.environ.get(
+            "DVPARI_JAX_CACHE",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "tpu"
+            ),
+        ),
     )
 
     from dvpari_tpu.ops import fr, xsk233

@@ -3,7 +3,8 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time, random
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache", "tpu"))
 os.environ["DVPARI_TRACE"] = "1"
 import numpy as np
 from dvpari_tpu.r1cs import gnark

@@ -20,9 +20,16 @@ if os.environ.get("DVPARI_PLATFORM"):
         # XLA:CPU AOT cache entries self-poison on reload (JOURNAL.md)
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
+# repo-local cache: survives the /tmp wipe between driver sessions
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("DVPARI_JAX_CACHE", "/tmp/dvpari_jax_cache_tpu"),
+    os.environ.get(
+        "DVPARI_JAX_CACHE",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache", "tpu",
+        ),
+    ),
 )
 os.environ.setdefault("DVPARI_TRACE", "1")
 

@@ -14,6 +14,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+# repo-local cache: survives the /tmp wipe between driver sessions
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "DVPARI_JAX_CACHE",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache", "tpu",
+        ),
+    ),
+)
+
 
 def main():
     import jax.numpy as jnp

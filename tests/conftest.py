@@ -24,8 +24,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: most suite time is XLA CPU compiles of the
-# big crypto graphs; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/dvpari_jax_cache_cpu")
+# big crypto graphs; cache them across runs.  Repo-local (not /tmp): /tmp
+# is wiped between driver sessions and a cold suite run costs ~50 min.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache", "cpu",
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # This jaxlib's XLA:CPU AOT cache entries embed pseudo-features
 # (+prefer-no-scatter) the loader rejects on reload -> SIGSEGV; cache the
