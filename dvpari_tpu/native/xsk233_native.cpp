@@ -17,6 +17,12 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
+
+#if defined(__PCLMUL__)
+#include <smmintrin.h>
+#include <wmmintrin.h>
+#endif
 
 typedef uint64_t u64;
 typedef unsigned __int128 u128;
@@ -39,8 +45,17 @@ inline FE fe_add(const FE &a, const FE &b) {
   return r;
 }
 
-// carry-less 64x64 -> 128 via 4-bit windowed shifts (portable, no PCLMUL
-// dependency; called out of hot device paths so portability wins).
+// carry-less 64x64 -> 128.  PCLMULQDQ when the build machine has it
+// (build() compiles on the host that runs it); 4-bit windowed shifts as
+// the portable fallback.
+#if defined(__PCLMUL__)
+inline void clmul64(u64 a, u64 b, u64 &hi, u64 &lo) {
+  __m128i r = _mm_clmulepi64_si128(_mm_set_epi64x(0, (long long)a),
+                                   _mm_set_epi64x(0, (long long)b), 0x00);
+  lo = (u64)_mm_cvtsi128_si64(r);
+  hi = (u64)_mm_extract_epi64(r, 1);
+}
+#else
 inline void clmul64(u64 a, u64 b, u64 &hi, u64 &lo) {
   u64 tab[16][2];
   tab[0][0] = 0; tab[0][1] = 0;
@@ -64,6 +79,7 @@ inline void clmul64(u64 a, u64 b, u64 &hi, u64 &lo) {
   hi = rhi;
   lo = rlo;
 }
+#endif
 
 // full 233x233 -> <=465-bit product into 8 words (schoolbook 4x4)
 inline void fe_clmul_wide(const FE &a, const FE &b, u64 out[8]) {
@@ -110,7 +126,33 @@ inline FE fe_mul(const FE &a, const FE &b) {
   return fe_reduce_wide(wide);
 }
 
-inline FE fe_sqr(const FE &a) { return fe_mul(a, a); }
+// squaring is linear over GF(2): spread each bit to an even position
+// (interleave zeros) and reduce -- ~20x cheaper than a generic clmul,
+// which matters because fe_inv and fe_halftrace are squaring towers.
+inline u64 spread32(u64 x) {
+  x &= 0xFFFFFFFFULL;
+  x = (x | (x << 16)) & 0x0000FFFF0000FFFFULL;
+  x = (x | (x << 8)) & 0x00FF00FF00FF00FFULL;
+  x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FULL;
+  x = (x | (x << 2)) & 0x3333333333333333ULL;
+  x = (x | (x << 1)) & 0x5555555555555555ULL;
+  return x;
+}
+
+inline FE fe_sqr(const FE &a) {
+  u64 wide[8];
+  for (int i = 0; i < 4; i++) {
+    wide[2 * i] = spread32(a.w[i]);
+    wide[2 * i + 1] = spread32(a.w[i] >> 32);
+  }
+  return fe_reduce_wide(wide);
+}
+
+inline FE fe_one() {
+  FE r = fe_zero();
+  r.w[0] = 1;
+  return r;
+}
 
 inline FE fe_sqr_k(FE a, int k) {
   for (int i = 0; i < k; i++) a = fe_sqr(a);
@@ -484,18 +526,41 @@ void dv_pt_double(const u64 *p, u64 *out) {
 }
 
 // batched affine normalization: n points (12 words each) -> 8 words (x, y)
-// + inf flag bytes
+// + inf flag bytes.  Montgomery batch inversion (one fe_inv + 3 muls per
+// point per chunk) under OpenMP -- the reference parallelizes both sides
+// of its vector IO with rayon (src/io_utils.rs:42-111, 153-226).
 void dv_pt_batch_affine(const u64 *pts, int64_t n, u64 *xy_out,
                         uint8_t *inf_out) {
-  for (int64_t i = 0; i < n; i++) {
-    PT P;
-    memcpy(&P, pts + 12 * i, 96);
-    FE x, y;
-    int inf;
-    pt_to_affine(P, x, y, inf);
-    memcpy(xy_out + 8 * i, x.w, 32);
-    memcpy(xy_out + 8 * i + 4, y.w, 32);
-    inf_out[i] = (uint8_t)inf;
+  constexpr int64_t CH = 4096;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t s = 0; s < n; s += CH) {
+    const int64_t e = s + CH < n ? s + CH : n;
+    const int64_t cnt = e - s;
+    std::vector<FE> pref((size_t)cnt);
+    FE run = fe_one();
+    for (int64_t i = 0; i < cnt; i++) {
+      FE z;
+      memcpy(z.w, pts + 12 * (s + i) + 8, 32);
+      if (!fe_is_zero(z)) run = fe_mul(run, z);
+      pref[(size_t)i] = run;
+    }
+    FE inv = fe_inv(run);
+    for (int64_t i = cnt - 1; i >= 0; i--) {
+      PT P;
+      memcpy(&P, pts + 12 * (s + i), 96);
+      if (fe_is_zero(P.Z)) {
+        inf_out[s + i] = 1;
+        memset(xy_out + 8 * (s + i), 0, 64);
+        continue;
+      }
+      FE prev = i ? pref[(size_t)i - 1] : fe_one();
+      FE zi = fe_mul(inv, prev);
+      inv = fe_mul(inv, P.Z);
+      FE x = fe_mul(P.X, zi), y = fe_mul(P.Y, zi);
+      inf_out[s + i] = 0;
+      memcpy(xy_out + 8 * (s + i), x.w, 32);
+      memcpy(xy_out + 8 * (s + i) + 4, y.w, 32);
+    }
   }
 }
 
@@ -560,17 +625,51 @@ int dv_pt_decode(const uint8_t *in30, u64 *xy_out, uint8_t *inf_out) {
 int64_t dv_pt_decode_bulk(const uint8_t *in, int64_t n, u64 *xy_out,
                           uint8_t *inf_out) {
   int64_t bad = 0;
+#pragma omp parallel for reduction(+ : bad) schedule(dynamic, 256)
   for (int64_t i = 0; i < n; i++) {
     if (!dv_pt_decode(in + 30 * i, xy_out + 8 * i, inf_out + i)) bad++;
   }
   return bad;
 }
 
-// bulk encode from affine pairs
+// bulk encode from affine pairs: the lambda-parity computation needs
+// y/x per point -- batch-invert the x's per chunk (x = 0 never occurs
+// for valid non-infinity subgroup points; fall back per point if it does).
 void dv_pt_encode_bulk(const u64 *xy, const uint8_t *inf, int64_t n,
                        uint8_t *out) {
-  for (int64_t i = 0; i < n; i++) {
-    dv_pt_encode(xy + 8 * i, inf[i], out + 30 * i);
+  constexpr int64_t CH = 4096;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t s = 0; s < n; s += CH) {
+    const int64_t e = s + CH < n ? s + CH : n;
+    const int64_t cnt = e - s;
+    std::vector<FE> pref((size_t)cnt);
+    FE run = fe_one();
+    for (int64_t i = 0; i < cnt; i++) {
+      FE x;
+      memcpy(x.w, xy + 8 * (s + i), 32);
+      if (!inf[s + i] && !fe_is_zero(x)) run = fe_mul(run, x);
+      pref[(size_t)i] = run;
+    }
+    FE inv = fe_inv(run);
+    for (int64_t i = cnt - 1; i >= 0; i--) {
+      uint8_t *rec = out + 30 * (s + i);
+      memset(rec, 0, 30);
+      if (inf[s + i]) continue;
+      FE x, y;
+      memcpy(x.w, xy + 8 * (s + i), 32);
+      memcpy(y.w, xy + 8 * (s + i) + 4, 32);
+      FE xi;
+      if (fe_is_zero(x)) {
+        xi = fe_inv(x);  // = 0, matching dv_pt_encode's degenerate case
+      } else {
+        FE prev = i ? pref[(size_t)i - 1] : fe_one();
+        xi = fe_mul(inv, prev);
+        inv = fe_mul(inv, x);
+      }
+      FE lam = fe_mul(y, xi);
+      memcpy(rec, x.w, 30);
+      rec[29] = (uint8_t)((x.w[3] >> 40) & 1) | (uint8_t)((lam.w[0] & 1) << 1);
+    }
   }
 }
 

@@ -409,7 +409,7 @@ def _msm_limbs_bitsliced(
 
     if _strongnorm_jit is None:
         _strongnorm_jit = jax.jit(fr.strong_normalize)
-    canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
+    canon_dev = _strongnorm_jit(scalars)
     if callable(planes):
         planes = planes()
     if planes is None:
@@ -426,15 +426,23 @@ def _msm_limbs_bitsliced(
     )
     ck = _msm_chunk_cols()
     if C <= ck:
+        canon = np.asarray(jax.device_get(canon_dev))
         oh, ng = recode_masks_bulk(canon)
         res = pallas_msm.msm_packed(
             jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes)
         )
         return jnp.asarray(bs.extract_point(res, 0))
+    # Pre-enqueue per-chunk canonical-scalar slices: the small slice ops
+    # run at the head of the device queue, so each in-loop fetch is a
+    # pure D2H copy of a READY buffer that overlaps the previous chunk's
+    # ladder -- no O(n) synchronous fetch in front of the pipeline (at
+    # 2^23 the full canonical vector is ~640 MB).
+    bounds = [(32 * c0, min(32 * (c0 + ck), n)) for c0 in range(0, C, ck)]
+    canon_slices = [canon_dev[:, a:b] for a, b in bounds]
     partials = []
-    for c0 in range(0, C, ck):
-        c1 = min(c0 + ck, C)
-        oh, ng = recode_masks_bulk(canon[:, 32 * c0 : 32 * c1])
+    for (a, b), sl in zip(bounds, canon_slices):
+        oh, ng = recode_masks_bulk(np.asarray(jax.device_get(sl)))
+        c0, c1 = a // 32, a // 32 + -(-(b - a) // 32)
         # async dispatch: returns at enqueue, device crunches this
         # chunk while the next one recodes on host
         partials.append(
@@ -576,6 +584,77 @@ def _gen_table_planes() -> np.ndarray:
     return _gen_table_planes_cache
 
 
+def _mulgen_bs_host(scalars: jnp.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Bit-sliced fixed-base fan-out, fully pipelined, host outputs.
+
+    Three-way overlap per chunk: fetch chunk i's canonical scalars (a
+    ready buffer -- the slices are pre-enqueued), recode + dispatch its
+    ladder (async), then drain chunk i-1's result and unpack it in
+    numpy while the device crunches chunk i.  No stage ever holds an
+    O(n) synchronous transfer.  Returns (proj uint32[3, 8, n],
+    planes uint32[3, 233, ceil32(n)])."""
+    global _strongnorm_jit
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import pallas_msm
+    from dvpari_tpu.ops import xsk233_bs as bs
+    from dvpari_tpu.ops.tnaf import recode_masks_bulk
+
+    if _strongnorm_jit is None:
+        _strongnorm_jit = jax.jit(fr.strong_normalize)
+    n = int(scalars.shape[-1])
+    canon_dev = _strongnorm_jit(scalars)
+    table = jnp.asarray(_gen_table_planes())
+    ck = _msm_chunk_cols()
+    C = -(-n // 32)
+    bounds = [(s0, min(s0 + 32 * ck, n)) for s0 in range(0, n, 32 * ck)]
+    canon_slices = [canon_dev[:, a:b] for a, b in bounds]
+    proj = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
+    planes = np.zeros((3, bs.M, C), dtype=np.uint32)
+
+    def drain(out, a, b):
+        cols = -(-(b - a) // 32)
+        pl = np.asarray(jax.device_get(out))[..., :cols]
+        planes[:, :, a // 32 : a // 32 + cols] = pl
+        proj[..., a:b] = bs.unpack_points(pl)[..., : b - a]
+
+    pending = None
+    for (a, b), sl in zip(bounds, canon_slices):
+        oh, ng = recode_masks_bulk(np.asarray(jax.device_get(sl)))
+        out = pallas_msm.mulgen_packed(jnp.asarray(oh), jnp.asarray(ng), table)
+        if pending is not None:
+            drain(*pending)
+        pending = (out, a, b)
+    if pending is not None:
+        drain(*pending)
+    return proj, planes
+
+
+def _mulgen_use_bs(n: int) -> bool:
+    import os
+
+    impl = os.environ.get("DVPARI_MSM_IMPL", "auto")
+    return (
+        impl in ("auto", "bs")
+        and (impl == "bs" or n >= _BS_MIN_N)
+        and (impl == "bs" or jax.default_backend() != "cpu")
+    )
+
+
+def mulgen_limbs_host(scalars: jnp.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Fixed-base fan-out with HOST outputs (proj words, bit planes) --
+    what the setup's SRS writer consumes (storage/artifacts.py), without
+    bouncing the multi-GB vectors through the device and back."""
+    from dvpari_tpu.ops import xsk233_bs as bs
+
+    n = int(scalars.shape[-1])
+    if _mulgen_use_bs(n):
+        return _mulgen_bs_host(scalars)
+    idx, sgn = recode_limbs(scalars)
+    g = jnp.broadcast_to(generator().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, n))
+    proj = np.asarray(jax.device_get(scalar_mul_frob_jit(idx, sgn, g)))
+    return proj, bs.pack_points(proj)
+
+
 def mulgen_limbs(scalars: jnp.ndarray) -> jnp.ndarray:
     """Fixed-base batch scalar-mul [s_i]G over device Fr limb scalars,
     returning word-layout points (3, 8, n).
@@ -586,39 +665,10 @@ def mulgen_limbs(scalars: jnp.ndarray) -> jnp.ndarray:
     them 32-per-uint32 against G's constant window table -- large
     batches take the fused Pallas ladder on TPU, small ones (and CPU
     tests) the word-sliced lane ladder."""
-    import os
-
     n = int(scalars.shape[-1])
-    impl = os.environ.get("DVPARI_MSM_IMPL", "auto")
-    if (
-        impl in ("auto", "bs")
-        and (impl == "bs" or n >= _BS_MIN_N)
-        and (impl == "bs" or jax.default_backend() != "cpu")
-    ):
-        global _strongnorm_jit
-        from dvpari_tpu.ops import fr
-        from dvpari_tpu.ops import pallas_msm
-        from dvpari_tpu.ops import xsk233_bs as bs
-        from dvpari_tpu.ops.tnaf import recode_masks_bulk
-
-        if _strongnorm_jit is None:
-            _strongnorm_jit = jax.jit(fr.strong_normalize)
-        canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
-        table = jnp.asarray(_gen_table_planes())
-        ck = _msm_chunk_cols()
-        # enqueue per-chunk ladders first (async), then fetch: chunk
-        # i+1's host recode overlaps chunk i's device ladder
-        chunks = []
-        for s0 in range(0, n, 32 * ck):
-            s1 = min(s0 + 32 * ck, n)
-            oh, ng = recode_masks_bulk(canon[:, s0:s1])
-            out = pallas_msm.mulgen_packed(jnp.asarray(oh), jnp.asarray(ng), table)
-            chunks.append((out, -(-(s1 - s0) // 32)))
-        planes = np.concatenate(
-            [np.asarray(jax.device_get(p))[..., :cols] for p, cols in chunks],
-            axis=-1,
-        )
-        return jnp.asarray(bs.unpack_points(planes)[..., :n])
+    if _mulgen_use_bs(n):
+        proj, _ = _mulgen_bs_host(scalars)
+        return jnp.asarray(proj)
     idx, sgn = recode_limbs(scalars)
     g = jnp.broadcast_to(generator().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, n))
     return scalar_mul_frob_jit(idx, sgn, g)

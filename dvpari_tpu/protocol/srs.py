@@ -68,12 +68,15 @@ class Trapdoor:
         return cls(*vals)
 
 
-def _gen_mul_batch(scalars: jnp.ndarray) -> jnp.ndarray:
-    """[s_i] G for a limb batch (20, n) -> points (3, 8, n), via the
-    fixed-base tau-NAF ladder with native bulk recoding: large batches
-    run bit-sliced against G's constant window table on the fused Pallas
-    ladder (reference: xsk233_mulgen_frob fan-out, src/srs.rs:131-159)."""
-    return xsk233.mulgen_limbs(scalars)
+def _gen_mul_batch(scalars: jnp.ndarray):
+    """[s_i] G for a limb batch (20, n) -> host (proj words (3, 8, n),
+    bit planes (3, 233, ceil32(n))), via the fixed-base tau-NAF ladder
+    with native bulk recoding: large batches run bit-sliced against G's
+    constant window table on the fused Pallas ladder (reference:
+    xsk233_mulgen_frob fan-out, src/srs.rs:131-159).  Host outputs feed
+    the artifact writer directly -- the SRS vectors never bounce back
+    through the device."""
+    return xsk233.mulgen_limbs_host(scalars)
 
 
 _jit_scale = jax.jit(fr.mul)
@@ -227,20 +230,20 @@ def verifier_runs_setup(
 
     with phase("setup.g_m"):
         m_vals = accumulate_m_values(inst, l_tau, delta)
-        g_m = _gen_mul_batch(
+        g_m, g_m_planes = _gen_mul_batch(
             _jit_scale(m_vals, jnp.asarray(fr.from_int(eps)).reshape(fr.NLIMB, 1))
         )
-        art.write_point_vec(os.path.join(cache_dir, art.SRS_G_M), g_m)
-        del m_vals, g_m
+        art.write_point_vec(os.path.join(cache_dir, art.SRS_G_M), g_m, g_m_planes)
+        del m_vals, g_m, g_m_planes
 
     with phase("setup.g_q"):
         z_tau_i = fr.to_int(jax.jit(fr.horner_eval)(z_poly, tau_dev))
         scale = z_tau_i * delta2 % fr.P * eps % fr.P
-        g_q = _gen_mul_batch(
+        g_q, g_q_planes = _gen_mul_batch(
             _jit_scale(l_taud, jnp.asarray(fr.from_int(scale)).reshape(fr.NLIMB, 1))
         )
-        art.write_point_vec(os.path.join(cache_dir, art.SRS_G_Q), g_q)
-        del z_poly, l_taud, g_q
+        art.write_point_vec(os.path.join(cache_dir, art.SRS_G_Q), g_q, g_q_planes)
+        del z_poly, l_taud, g_q, g_q_planes
 
     with phase("setup.g_k"):
         names = []
@@ -248,11 +251,11 @@ def verifier_runs_setup(
             [(l_tau, art.SRS_G_K_0), (l_tau, art.SRS_G_K_1), (l_taul, art.SRS_G_K_2)]
         ):
             dp = [1, delta, delta2][j]
-            gk = _gen_mul_batch(
+            gk, gk_planes = _gen_mul_batch(
                 _jit_scale(l_slice, jnp.asarray(fr.from_int(dp)).reshape(fr.NLIMB, 1))
             )
-            art.write_point_vec(os.path.join(cache_dir, name), gk)
-            del gk
+            art.write_point_vec(os.path.join(cache_dir, name), gk, gk_planes)
+            del gk, gk_planes
             names.append(name)
 
     # the SRS lives in the artifact cache (the reference also reloads it

@@ -40,3 +40,33 @@ def toy_witness():
     s = x + t
     o = w + s
     return [o, w], [y, z, x, t, s]
+
+
+def synth_squaring_chain(n_rows: int):
+    """Synthetic m-constraint circuit for scale tests: wire i+1 = wire_i^2
+    plus two public-output rows (pads to m = next_pow2(n_rows + 2)).
+
+    Returns (dump_bytes, public_inputs, private_witness).  Shared by the
+    scale scripts (scripts/scale_e2e_tpu.py) and the sharded-prove tests;
+    the role of the reference's SP1-scale test circuit
+    (src/dvsnark_test.rs:184-244) without the 800 MB download.
+    """
+    from dvpari_tpu.ops import fr
+
+    c1 = lambda w: (w, 0)
+    rows = []
+    first_chain = 3  # wires: 0=one, 1=pub o, 2=pub w, 3..=chain
+    n_chain = n_rows
+    for i in range(n_chain):
+        a = first_chain + i
+        rows.append(([c1(a)], [c1(a)], [c1(a + 1)]))
+    last = first_chain + n_chain
+    mid = first_chain + n_chain // 2
+    rows.append(([c1(last)], [c1(0)], [c1(1)]))  # o = chain end
+    rows.append(([c1(mid)], [c1(0)], [c1(2)]))  # w = chain middle
+    x = 3
+    chain = [x]
+    for _ in range(n_chain):
+        chain.append(chain[-1] * chain[-1] % fr.P)
+    pub = [chain[-1], chain[n_chain // 2]]
+    return gnark.write_sparse_r1cs([1], rows), pub, chain

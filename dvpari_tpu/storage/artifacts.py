@@ -105,10 +105,13 @@ def read_fr_vec(path: str) -> jnp.ndarray:
 IO_CHUNK = 1 << 20
 
 
-def write_point_vec(path: str, points: jnp.ndarray) -> None:
-    """points: (3, 8, n) projective batch -> 30B compressed records +
-    .fast.npz sidecar with the affine word arrays + .planes.npz
-    bit-sliced sidecar (large vectors; what the fused-ladder MSM reads).
+def write_point_vec(path: str, points: jnp.ndarray, planes=None) -> None:
+    """points: (3, 8, n) projective batch (device OR host numpy) -> 30B
+    compressed records + .fast.npz sidecar with the affine word arrays +
+    .planes.npz bit-sliced sidecar (large vectors; what the fused-ladder
+    MSM reads).  `planes` optionally supplies the bit-plane packing of
+    the SAME vector (e.g. straight from the setup fan-out,
+    ops/xsk233.py:mulgen_limbs_host) so it isn't re-derived here.
 
     Uses the native backend (batched affine normalization + bulk encode)
     when available; python host codec otherwise.  Encoding streams in
@@ -135,7 +138,11 @@ def write_point_vec(path: str, points: jnp.ndarray) -> None:
         if n >= 4096:  # MSM-sized: pre-pack the bit-plane sidecar too
             from dvpari_tpu.ops import xsk233_bs as bs
 
-            np.savez(path + ".planes.npz", P=bs.pack_points(proj))
+            if planes is not None:
+                assert planes.shape[-1] == -(-n // 32), (planes.shape, n)
+                np.savez(path + ".planes.npz", P=np.asarray(planes))
+            else:
+                np.savez(path + ".planes.npz", P=bs.pack_points(proj))
         return
 
     from dvpari_tpu.utils import xsk233_host as host

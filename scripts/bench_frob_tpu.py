@@ -2,8 +2,9 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, random, numpy as np
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache", "tpu"))
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "DVPARI_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache", "tpu")))
 from dvpari_tpu.ops import xsk233
 from dvpari_tpu.utils import xsk233_host as host
 rng = random.Random(8)

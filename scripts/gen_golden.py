@@ -58,6 +58,17 @@ def main():
     t.public_input_hash([1, 2, 3])
     alpha = t.output()
 
+    # transform fixtures: extend (evals on D -> evals on D') and enter
+    # (coefficients -> evals over the full interleaved 2N-leaf domain)
+    # for fixed deterministic inputs; brute-force re-derived in
+    # tests/test_golden.py (reference oracle strategy: src/ec_fft.rs:883)
+    ext_in = [(j * j + j + 1) % fr.P for j in range(N)]
+    ext_out = fr.to_int(
+        tree2n.extend(jnp.asarray(fr.from_int(ext_in)), "S1", 0)
+    )
+    ent_in = [(3 * j + 2) % fr.P for j in range(2 * N)]
+    ent_out = fr.to_int(tree2n.enter(jnp.asarray(fr.from_int(ent_in)), 0))
+
     print("DOMAIN_D =", hexlist(dom_i))
     print("DOMAIN_DP =", hexlist(dom2_i))
     print("Z_POLY =", hexlist(z_i))
@@ -65,6 +76,8 @@ def main():
     print(f'TAU = "{TAU:#x}"')
     print("L_TAU =", hexlist(ltau_i))
     print(f'ALPHA = "{alpha:#x}"')
+    print("EXTEND_OUT =", hexlist(ext_out))
+    print("ENTER_OUT =", hexlist(ent_out))
 
 
 if __name__ == "__main__":

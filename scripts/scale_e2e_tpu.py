@@ -41,32 +41,28 @@ from dvpari_tpu.protocol import srs as S, prover as PR
 from dvpari_tpu.storage import artifacts as art
 
 
+from dvpari_tpu.r1cs.toy import synth_squaring_chain
+
+
 def synth_circuit(n_rows):
-    """Squaring-chain circuit: wire i+1 = wire_i^2; two public outputs."""
-    c1 = lambda w: (w, 0)
-    rows = []
-    first_chain = 3  # wires: 0=one, 1=pub o, 2=pub w, 3..=chain
-    n_chain = n_rows - 2
-    for i in range(n_chain):
-        a = first_chain + i
-        rows.append(([c1(a)], [c1(a)], [c1(a + 1)]))
-    last = first_chain + n_chain
-    mid = first_chain + n_chain // 2
-    rows.append(([c1(last)], [c1(0)], [c1(1)]))  # o = chain end
-    rows.append(([c1(mid)], [c1(0)], [c1(2)]))  # w = chain middle
-    x = 3
-    chain = [x]
-    for _ in range(n_chain):
-        chain.append(chain[-1] * chain[-1] % fr.P)
-    pub = [chain[-1], chain[n_chain // 2]]
-    return gnark.write_sparse_r1cs([1], rows), pub, chain
+    """Squaring-chain circuit (shared helper; n_rows includes the two
+    public-output rows, matching the old local definition)."""
+    return synth_squaring_chain(n_rows - 2)
 
 
 def main():
     log_m = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     m = 1 << log_m
     print("devices:", jax.devices(), "m = 2^%d" % log_m, flush=True)
-    cache = os.environ.get("DVPARI_SCALE_CACHE", f"/tmp/dvpari_scale_{log_m}")
+    # repo-local (gitignored) default: the artifact cache survives the
+    # /tmp wipe between driver sessions, so reruns resume mid-pipeline
+    cache = os.environ.get(
+        "DVPARI_SCALE_CACHE",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale_cache", f"m{log_m}",
+        ),
+    )
     os.makedirs(cache, exist_ok=True)
 
     t0 = time.time()

@@ -26,13 +26,28 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: most suite time is XLA CPU compiles of the
 # big crypto graphs; cache them across runs.  Repo-local (not /tmp): /tmp
 # is wiped between driver sessions and a cold suite run costs ~50 min.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache", "cpu",
-    ),
+#
+# Poisoned-entry remedy: some XLA:CPU AOT entries SIGSEGV the process on
+# reload (get_executable_and_time) -- if a suite run dies that way, the
+# fix is `rm -rf .jax_cache/cpu`.  Automated below via a crash sentinel:
+# the sentinel file exists for the duration of a suite run and is removed
+# on clean session finish (see pytest_sessionfinish); finding it at start
+# means the previous run died mid-suite, so the cache is wiped before it
+# can kill this run at the same compile.
+_CPU_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache", "cpu",
 )
+_CRASH_SENTINEL = os.path.join(_CPU_CACHE_DIR, ".suite_running")
+if os.path.exists(_CRASH_SENTINEL):
+    import shutil
+
+    shutil.rmtree(_CPU_CACHE_DIR, ignore_errors=True)
+os.makedirs(_CPU_CACHE_DIR, exist_ok=True)
+with open(_CRASH_SENTINEL, "w") as _f:
+    _f.write("removed by pytest_sessionfinish on clean exit\n")
+
+jax.config.update("jax_compilation_cache_dir", _CPU_CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # This jaxlib's XLA:CPU AOT cache entries embed pseudo-features
 # (+prefer-no-scatter) the loader rejects on reload -> SIGSEGV; cache the
@@ -42,6 +57,32 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 import contextlib
 
 import pytest
+
+
+# `timeout`-killed runs (SIGTERM) are routine and must NOT look like
+# crashes: convert SIGTERM to a graceful KeyboardInterrupt so
+# pytest_sessionfinish still runs and removes the sentinel.  A real
+# SIGSEGV cannot run Python handlers, so only genuine crashes leave the
+# sentinel behind -- exactly the poisoned-cache case the wipe targets.
+import signal as _signal
+
+
+def _graceful_term(signum, frame):
+    raise KeyboardInterrupt("SIGTERM")
+
+
+try:
+    _signal.signal(_signal.SIGTERM, _graceful_term)
+except (ValueError, OSError):
+    pass  # non-main thread / restricted env: sentinel stays best-effort
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Clean exit -> drop the crash sentinel (see cache setup above)."""
+    try:
+        os.remove(_CRASH_SENTINEL)
+    except OSError:
+        pass
 
 
 @pytest.fixture

@@ -105,6 +105,42 @@ def test_point_wire_format_pinned():
         assert valid and dec == p, k
 
 
+def test_extend_pinned_and_bruteforce(tree2n):
+    """extend (evals on D -> evals on D') against pinned output AND an
+    O(N^2) python-int Lagrange interpolate-then-evaluate oracle
+    (reference oracle: test_interpolate_and_extend_match,
+    src/ec_fft.rs:883)."""
+    out = tree2n.extend(jnp.asarray(fr.from_int(G.EXTEND_IN)), "S1", 0)
+    out_i = fr.to_int(out)
+    assert out_i == ints(G.EXTEND_OUT)
+    dom, dom2 = ints(G.DOMAIN_D), ints(G.DOMAIN_DP)
+    for t, dt in zip(out_i, dom2):
+        acc = 0
+        for i, di in enumerate(dom):
+            num, den = 1, 1
+            for j, dj in enumerate(dom):
+                if j != i:
+                    num = num * (dt - dj) % fr.P
+                    den = den * (di - dj) % fr.P
+            acc = (acc + G.EXTEND_IN[i] * num * pow(den, fr.P - 2, fr.P)) % fr.P
+        assert t == acc
+
+
+def test_enter_pinned_and_bruteforce(tree2n):
+    """enter (coefficients -> evals over the interleaved 2N leaves)
+    against pinned output AND direct Horner evaluation in python ints."""
+    out = tree2n.enter(jnp.asarray(fr.from_int(G.ENTER_IN)), 0)
+    out_i = fr.to_int(out)
+    assert out_i == ints(G.ENTER_OUT)
+    dom, dom2 = ints(G.DOMAIN_D), ints(G.DOMAIN_DP)
+    leaves = [x for pair in zip(dom, dom2) for x in pair]
+    for t, leaf in zip(out_i, leaves):
+        acc = 0
+        for c in reversed(G.ENTER_IN):
+            acc = (acc * leaf + c) % fr.P
+        assert t == acc
+
+
 def test_transcript_alpha_pinned():
     t = Transcript()
     t.srs_hash()

@@ -43,6 +43,21 @@ def test_proof_serialization(e2e):
     assert srs_mod.verify(td, pub, Proof.from_bits(bits))
 
 
+def test_proof_bits_pinned(e2e):
+    """The complete 944-bit toy proof against the committed golden vector
+    (tests/golden_n16.py TOY_PROOF_HEX): end-to-end protocol drift --
+    wherever it hides -- fails this fixture (VERDICT r2 item 8)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import golden_n16 as G
+    from dvpari_tpu.protocol.proof import _bits_to_bytes_le
+
+    _, _, _, _, proof = e2e
+    assert _bits_to_bytes_le(proof.to_bits()).hex() == G.TOY_PROOF_HEX
+
+
 def test_rejections(e2e):
     _, pub, _, td, proof = e2e
     assert not srs_mod.verify(td, [pub[0] + 1, pub[1]], proof)

@@ -1,0 +1,71 @@
+"""Sharded execution evidence at non-toy sizes (VERDICT r2 item 7).
+
+On the 8-device CPU mesh:
+ * sharded ECFFT extend == unsharded at m = 2^12, where the butterfly
+   index pairing crosses shard boundaries in multiple levels (a 512-leaf
+   shard spans levels 0..9 of the 12-level transform), so GSPMD must
+   insert real cross-shard collectives;
+ * the sharded production prover == unsharded proof bits at m = 1024
+   over a synthetic squaring-chain circuit (the toy-m=8 variant lives in
+   test_sharded_prove.py; here every extend level above 7 crosses
+   shards and the MSM folds span devices).
+
+(reference analog: the rayon map+reduce inside multi_scalar_mul,
+src/curve.rs:141-158, and SURVEY.md section 5's all-to-all mapping.)
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvpari_tpu.ops import fr
+from dvpari_tpu.fftree.tree import FFTree
+from dvpari_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_sharded_extend_m4096(no_persistent_compile_cache):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    m = 4096
+    tree2n = FFTree.build(2 * m, False, m.bit_length())
+    rng = np.random.default_rng(7)
+    vals_i = [int.from_bytes(rng.bytes(29), "little") % fr.P for j in range(m)]
+    vals = jnp.asarray(fr.from_int(vals_i))
+
+    base = np.asarray(jax.device_get(tree2n.extend(vals, "S1", 0)))
+
+    mesh = make_mesh(8)
+    vals_sh = jax.device_put(vals, NamedSharding(mesh, P(None, SHARD_AXIS)))
+    sharded = np.asarray(jax.device_get(tree2n.extend(vals_sh, "S1", 0)))
+
+    assert np.array_equal(base, sharded)
+
+
+def test_sharded_prove_m1024_matches_unsharded(no_persistent_compile_cache):
+    from dvpari_tpu.protocol import prover as prover_mod
+    from dvpari_tpu.protocol import srs as srs_mod
+    from dvpari_tpu.r1cs.toy import synth_squaring_chain
+    from dvpari_tpu.storage import artifacts as art
+
+    cache = tempfile.mkdtemp(prefix="dvpari_pytest_shard1k_")
+    dump, pub, wit = synth_squaring_chain(1020)  # m = 1024
+    with open(os.path.join(cache, art.R1CS_CONSTRAINTS_FILE), "wb") as f:
+        f.write(dump)
+    td = srs_mod.Trapdoor.from_seed(b"dvpari-shard-1k")
+    srs_mod.verifier_runs_setup(td, cache, len(pub), True, False)
+    prover_mod.prover_prepares_precomputes(cache, False)
+
+    base = prover_mod.prove(cache, pub, wit)
+    mesh = make_mesh(8)
+    sharded = prover_mod.prove(cache, pub, wit, mesh=mesh)
+
+    assert sharded.to_bits() == base.to_bits()
+    assert srs_mod.verify(td, pub, sharded)
