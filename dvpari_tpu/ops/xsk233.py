@@ -416,7 +416,13 @@ def _msm_limbs_bitsliced(
         if callable(points):
             points = points()
         planes = bs.pack_points(np.asarray(jax.device_get(points)))
-    planes = np.asarray(planes)
+    # device-resident planes (e.g. the cached SRS sidecar upload,
+    # storage/artifacts.py:read_point_vec_planes(device=True)) are
+    # sliced lazily on device -- no per-prove H2D of the whole vector;
+    # host arrays keep the old per-chunk upload behavior
+    on_device = isinstance(planes, jax.Array)
+    if not on_device:
+        planes = np.asarray(planes)
     C = planes.shape[-1]
     n = int(scalars.shape[-1])
     want_c = -(-n // 32)
@@ -443,12 +449,11 @@ def _msm_limbs_bitsliced(
     for (a, b), sl in zip(bounds, canon_slices):
         oh, ng = recode_masks_bulk(np.asarray(jax.device_get(sl)))
         c0, c1 = a // 32, a // 32 + -(-(b - a) // 32)
+        pl = planes[:, :, c0:c1] if on_device else jnp.asarray(planes[:, :, c0:c1])
         # async dispatch: returns at enqueue, device crunches this
         # chunk while the next one recodes on host
         partials.append(
-            pallas_msm.msm_packed(
-                jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes[:, :, c0:c1])
-            )
+            pallas_msm.msm_packed(jnp.asarray(oh), jnp.asarray(ng), pl)
         )
     res = bs.fold_cols(jnp.stack(partials, axis=-1))
     return jnp.asarray(bs.extract_point(res, 0))

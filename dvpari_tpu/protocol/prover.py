@@ -197,7 +197,8 @@ def prove(
         # lazy loaders: the bit-sliced path reads only the planes sidecar
         msm_gm = xsk233.msm_limbs(
             w_dev, lambda: art.read_point_vec(gm_path), mesh=mesh,
-            planes=lambda: art.read_point_vec_planes(gm_path),
+            planes=lambda: art.read_point_vec_planes_device(gm_path)
+            if mesh is None else art.read_point_vec_planes(gm_path),
         )
         del w_dev
 
@@ -225,7 +226,8 @@ def prove(
         assert art.point_vec_len(gq_path) == m
         msm_q = xsk233.msm_limbs(
             q2, lambda: art.read_point_vec(gq_path), mesh=mesh,
-            planes=lambda: art.read_point_vec_planes(gq_path),
+            planes=lambda: art.read_point_vec_planes_device(gq_path)
+            if mesh is None else art.read_point_vec_planes(gq_path),
         )
         del q2
 
@@ -270,11 +272,18 @@ def prove(
 
         # the three g_k segments are 2m/m/m long: concatenated planes
         # stay slot-aligned because each segment is a multiple of 32
-        # at production sizes; fall back to fresh packing otherwise
+        # at production sizes; fall back to fresh packing otherwise.
+        # Unsharded: per-segment device-cached uploads + device concat
+        # (no per-prove H2D of the 4m-point vector).
         def _gk_planes():
             import numpy as _np
 
             if all(n % 32 == 0 for n in seg_lens):
+                if mesh is None:
+                    return jnp.concatenate(
+                        [art.read_point_vec_planes_device(p) for p in gk_paths],
+                        axis=-1,
+                    )
                 return _np.concatenate(
                     [art.read_point_vec_planes(p) for p in gk_paths], axis=-1
                 )

@@ -231,6 +231,38 @@ def read_point_vec_planes(path: str) -> np.ndarray:
     return planes
 
 
+# Device-resident planes cache: the SRS is a fixed per-circuit artifact,
+# so uploading each vector through the (tunneled) H2D path once and
+# slicing on device removes the dominant per-prove transfer cost
+# (measured r3: ladder compute = 364k pts/s at 2^20 vs 129-178k e2e at
+# 2^18 -- the gap is per-prove mask+plane uploads).  Keyed by
+# (path, sidecar mtime); stale entries for the same path are dropped;
+# capacity capped by DVPARI_PLANES_CACHE_GB (default 6).
+_PLANES_DEVICE_CACHE: "dict[tuple, jnp.ndarray]" = {}
+
+
+def read_point_vec_planes_device(path: str) -> jnp.ndarray:
+    """read_point_vec_planes, uploaded once and cached on device."""
+    pp = path + ".planes.npz"
+    mtime = os.path.getmtime(pp) if os.path.exists(pp) else None
+    key = (os.path.abspath(path), mtime)
+    hit = _PLANES_DEVICE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _PLANES_DEVICE_CACHE if k[0] == key[0]]:
+        del _PLANES_DEVICE_CACHE[k]  # rewritten artifact: drop stale upload
+    arr = jnp.asarray(read_point_vec_planes(path))
+    budget = float(os.environ.get("DVPARI_PLANES_CACHE_GB", "6")) * 1e9
+    size = arr.size * 4
+    cur = sum(v.size * 4 for v in _PLANES_DEVICE_CACHE.values())
+    while _PLANES_DEVICE_CACHE and cur + size > budget:
+        k0 = next(iter(_PLANES_DEVICE_CACHE))
+        cur -= _PLANES_DEVICE_CACHE.pop(k0).size * 4
+    if size <= budget:
+        _PLANES_DEVICE_CACHE[key] = arr
+    return arr
+
+
 def read_point_vec(path: str, validate: bool = False) -> jnp.ndarray:
     """Returns (3, 8, n) projective batch.  Prefers the sidecar; falls
     back to decoding the 30-byte records (with validity checks, mirroring
