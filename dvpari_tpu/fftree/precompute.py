@@ -99,9 +99,12 @@ def evaluate_vanishing_poly_at_domain(
     """Evaluate Z (n+1 coeffs) over the n-point view(d) domain via
     enter on the degree-(n-1) tail + one Horner step
     (reference: evaluate_vanishing_poly_at_domain, src/ec_fft.rs:407-419)."""
+    import numpy as np
+
     leaves = tree.leaves(d)
-    tail = tree.enter(z_coeffs[..., 1:], d)
-    return _jit_horner_step(tail, leaves, z_coeffs[..., 0])
+    zc = np.asarray(jax.device_get(z_coeffs))  # host slice: no eager device op
+    tail = tree.enter(jnp.asarray(np.ascontiguousarray(zc[..., 1:])), d)
+    return _jit_horner_step(tail, leaves, jnp.asarray(zc[..., 0]))
 
 
 def lagrange_basis_unified(

@@ -56,6 +56,15 @@ def _log2(n: int) -> int:
     return n.bit_length() - 1
 
 
+def _cpu_device():
+    """The local CPU device (table prep runs there: local compiles are
+    fast and free; the tunneled TPU pays ~45 s per remote compile)."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def _host_vanishing_coeffs(points: "list[int]") -> "list[int]":
     """prod (x - s_i) coefficients via a python-int product tree."""
     polys = [[(-s) % fr.P, 1] for s in points]
@@ -93,6 +102,8 @@ class FFTree:
         self._zc_cache: dict = {}
         self._z0odd_cache: dict = {}
         self._jit_cache: dict = {}
+        self._np_cache: dict = {}
+        self._dev_cache: dict = {}
 
     # -- construction -------------------------------------------------------
 
@@ -129,10 +140,27 @@ class FFTree:
         return cls(layers, x0s, shift_by_one, base_log_n)
 
     # -- views --------------------------------------------------------------
+    #
+    # Table/view preparation NEVER runs eager device ops: on the tunneled
+    # TPU backend every eager slice of a unique shape is a ~45 s remote
+    # compile, and the per-level loops below issue hundreds of them
+    # (measured r3: the 2^16 setup spent its first hour compiling
+    # jit_gather/jit_dynamic_slice one-liners).  Layers are mirrored to
+    # host numpy once; slicing is numpy; results upload once per view.
+
+    def _layer_np(self, k: int) -> np.ndarray:
+        if k not in self._np_cache:
+            self._np_cache[k] = np.asarray(jax.device_get(self.layers[k]))
+        return self._np_cache[k]
 
     def leaves(self, d: int = 0) -> jnp.ndarray:
         """Leaf x-coords of the depth-d subtree view (stride 2^d)."""
-        return self.layers[0][:, :: 1 << d]
+        key = ("leaves", d)
+        if key not in self._dev_cache:
+            self._dev_cache[key] = jnp.asarray(
+                np.ascontiguousarray(self._layer_np(0)[:, :: 1 << d])
+            )
+        return self._dev_cache[key]
 
     def subtree_size_to_depth(self, size: int) -> int:
         d = _log2(self.n) - _log2(size)
@@ -142,7 +170,14 @@ class FFTree:
     def both_domains(self):
         """(D, D') leaf vectors (reference: get_both_domains,
         src/ec_fft.rs:179-189)."""
-        return self.layers[0][:, 0::2], self.layers[0][:, 1::2]
+        key = ("both",)
+        if key not in self._dev_cache:
+            L0 = self._layer_np(0)
+            self._dev_cache[key] = (
+                jnp.asarray(np.ascontiguousarray(L0[:, 0::2])),
+                jnp.asarray(np.ascontiguousarray(L0[:, 1::2])),
+            )
+        return self._dev_cache[key]
 
     # -- cached constants ---------------------------------------------------
 
@@ -179,19 +214,32 @@ class FFTree:
         src_off = 0 if moiety == "S1" else (1 << d)
         tgt_off = (1 << d) if moiety == "S1" else 0
         stride = 1 << (d + 1)
+        cpu = _cpu_device()
         dec, rec = [], []
         for k in range(_log2(m)):
             mk = m >> k
             half = mk >> 1
-            Lk = self.layers[k]
+            Lk = self._layer_np(k)
             s = Lk[:, src_off::stride]
             t = Lk[:, tgt_off::stride]
-            s0, s1 = s[:, :half], s[:, half:mk]
-            t0, t1 = t[:, :half], t[:, half:mk]
-            x0 = fr.broadcast_scalar(fr.from_int(self.x0s[k]), (half,))
-            dk, rk = self._level_consts_fn(half - 1)(s0, s1, t0, t1, x0)
-            dec.append(dk)
-            rec.append(rk)
+            args = tuple(
+                np.ascontiguousarray(a)
+                for a in (s[:, :half], s[:, half:mk], t[:, :half], t[:, half:mk])
+            )
+            x0 = np.broadcast_to(
+                np.asarray(fr.from_int(self.x0s[k])).reshape(fr.NLIMB, 1),
+                (fr.NLIMB, half),
+            )
+            # constants math runs on the LOCAL cpu backend (fast local
+            # compile, one program per level size), then uploads once
+            fn = self._level_consts_fn(half - 1)
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    dk, rk = fn(*args, x0)
+            else:
+                dk, rk = fn(*args, x0)
+            dec.append(tuple(jax.device_put(np.asarray(v)) for v in dk))
+            rec.append(tuple(jax.device_put(np.asarray(v)) for v in rk))
         self._ext_cache[key] = (dec, rec)
         return self._ext_cache[key]
 
@@ -200,8 +248,20 @@ class FFTree:
         if d in self._xnn_cache:
             return self._xnn_cache[d]
         sz = self.n >> (d + 1)
-        vals = fr.pow_const(self.leaves(d), sz)
-        self._xnn_cache[d] = (vals[:, 0::2], vals[:, 1::2])
+        lv = np.ascontiguousarray(self._layer_np(0)[:, :: 1 << d])
+        cpu = _cpu_device()
+        fn = self._jitted(
+            ("xnn_pow", sz, lv.shape), lambda v: fr.pow_const(v, sz)
+        )
+        if cpu is not None:
+            with jax.default_device(cpu):
+                vals = np.asarray(fn(lv))
+        else:
+            vals = np.asarray(fn(lv))
+        self._xnn_cache[d] = (
+            jax.device_put(np.ascontiguousarray(vals[:, 0::2])),
+            jax.device_put(np.ascontiguousarray(vals[:, 1::2])),
+        )
         return self._xnn_cache[d]
 
     def z_coeffs(self, d: int) -> jnp.ndarray:
@@ -237,10 +297,15 @@ class FFTree:
         if d in self._z0odd_cache:
             return self._z0odd_cache[d]
         n = self.n >> d
-        zc = self.z_coeffs(d + 1)  # (20, n/2 + 1)
-        pad = jnp.zeros((fr.NLIMB, n - zc.shape[-1]), dtype=jnp.int32)
-        ev = self.enter(jnp.concatenate([zc, pad], axis=-1), d)
-        self._z0odd_cache[d] = fr.batch_inverse(ev[:, 1::2], axis=0)
+        zc = np.asarray(jax.device_get(self.z_coeffs(d + 1)))  # (20, n/2+1)
+        padded = np.zeros((fr.NLIMB, n), dtype=np.int32)
+        padded[:, : zc.shape[-1]] = zc
+        ev = self.enter(jnp.asarray(padded), d)
+        fn = self._jitted(
+            ("z0invodd", ev.shape),
+            lambda e: fr.batch_inverse(e[:, 1::2], axis=0),
+        )
+        self._z0odd_cache[d] = fn(ev)
         return self._z0odd_cache[d]
 
     def vanish_coeffs_subset(self, indices, d: int = 0) -> jnp.ndarray:
@@ -260,9 +325,10 @@ class FFTree:
         even moiety) - the reference's `vanish(S0)` use
         (reference: src/ec_fft.rs:241-282)."""
         n = self.n >> d
-        zc = self.z_coeffs(d + 1)
-        pad = jnp.zeros((fr.NLIMB, n - zc.shape[-1]), dtype=jnp.int32)
-        return self.enter(jnp.concatenate([zc, pad], axis=-1), d)
+        zc = np.asarray(jax.device_get(self.z_coeffs(d + 1)))
+        padded = np.zeros((fr.NLIMB, n), dtype=np.int32)
+        padded[:, : zc.shape[-1]] = zc
+        return self.enter(jnp.asarray(padded), d)
 
     # -- core transforms ----------------------------------------------------
     #
@@ -285,23 +351,43 @@ class FFTree:
         return fn(evals, dec, rec)
 
     def enter(self, coeffs: jnp.ndarray, d: int = 0) -> jnp.ndarray:
+        """Coefficients -> evals, one jitted program PER LEVEL.
+
+        The single fused O(log^2 n)-pass program (each level embeds a
+        full extend) grows to millions of HLO ops by 2^16 leaves and
+        gets the remote TPU compiler OOM-killed; level-at-a-time the
+        largest module is one extend, which compiles at every size the
+        prover itself uses.  Extra cost: K-1 dispatch round trips on a
+        setup-only path."""
         n = coeffs.shape[-1]
         assert n == self.n >> d
-        exts = [self._extend_consts(d + k, "S1") for k in range(_log2(n))]
-        xnns = [self._xnn(d + k) for k in range(_log2(n))]
-        fn = self._jitted(("enter", d, coeffs.shape), _enter_tabled)
-        return fn(coeffs, exts, xnns)
+        K = _log2(n)
+        state = coeffs[..., :, None]  # (20, *B, V=n, s=1)
+        for k in reversed(range(K)):
+            dec, rec = self._extend_consts(d + k, "S1")
+            xe, xo = self._xnn(d + k)
+            fn = self._jitted(("enter_lvl", d, k, coeffs.shape), _enter_level)
+            state = fn(state, dec, rec, xe, xo)
+        return state[..., 0, :]
 
     def exit(self, evals: jnp.ndarray, d: int = 0) -> jnp.ndarray:
+        """Evals -> coefficients, level-at-a-time (same module-size
+        rationale as enter)."""
         n = evals.shape[-1]
         assert n == self.n >> d
         K = _log2(n)
-        exts1 = [self._extend_consts(d + k, "S1") for k in range(K)]
-        exts0 = [self._extend_consts(d + k, "S0") for k in range(K)]
-        z0invs = [self._z0_inv_odd(d + k) for k in range(K)]
-        ztails = [self._z0_tail(d + k + 1) for k in range(K)]
-        fn = self._jitted(("exit", d, evals.shape), _exit_tabled)
-        return fn(evals, exts1, exts0, z0invs, ztails)
+        state = evals[..., None, :]  # (20, *B, V=1, s=n)
+        for k in range(K):
+            ext1 = self._extend_consts(d + k, "S1")
+            ext0 = self._extend_consts(d + k, "S0")
+            z0inv = self._z0_inv_odd(d + k)
+            fn = self._jitted(("exit_fwd", d, k, evals.shape), _exit_fwd_level)
+            state = fn(state, ext1, ext0, z0inv)
+        for k in reversed(range(K)):
+            ztail = self._z0_tail(d + k + 1)
+            fn = self._jitted(("exit_bwd", d, k, evals.shape), _exit_bwd_level)
+            state = fn(state, ztail)
+        return state[..., 0, :]
 
     def _extend_impl(self, evals: jnp.ndarray, moiety: str, d: int):
         """Trace-inline extend (for embedding in caller-jitted steps)."""
@@ -355,61 +441,44 @@ def _extend_tabled(evals: jnp.ndarray, dec, rec) -> jnp.ndarray:
     return state[..., 0, :]
 
 
-def _enter_tabled(coeffs: jnp.ndarray, exts, xnns) -> jnp.ndarray:
-    """Coefficients (deg < n) -> evals on all view leaves.  exts[k] =
-    (dec, rec) extend constants at view d+k; xnns[k] = x^(sz) on the
-    even/odd leaves of view d+k.
-    (reference: FFTree::enter, src/ec_fft.rs:284-335, 407-419)
-    """
-    n = coeffs.shape[-1]
-    K = len(exts)
-    state = coeffs[..., :, None]  # (20, *B, V=n, s=1): constants
-    for k in reversed(range(K)):
-        sz = n >> (k + 1)  # current subvector length
-        u = state[..., 0::2, :]
-        v = state[..., 1::2, :]
-        dec, rec = exts[k]
-        u_ext = _extend_tabled(u, dec, rec)
-        v_ext = _extend_tabled(v, dec, rec)
-        xe, xo = xnns[k]
-        xe = _bcast(xe, state.ndim)
-        xo = _bcast(xo, state.ndim)
-        even = fr.add(u, fr.mul(xe, v))
-        odd = fr.add(u_ext, fr.mul(xo, v_ext))
-        st = jnp.stack([even, odd], axis=-1)  # (..., V, sz, 2)
-        state = st.reshape(*st.shape[:-3], st.shape[-3], 2 * sz)
-    return state[..., 0, :]
+def _enter_level(state, dec, rec, xe, xo):
+    """One enter level (reference: FFTree::enter recursion step,
+    src/ec_fft.rs:284-335): split odd/even coefficient subvectors,
+    extend both, recombine with x^sz on each moiety."""
+    u = state[..., 0::2, :]
+    v = state[..., 1::2, :]
+    u_ext = _extend_tabled(u, dec, rec)
+    v_ext = _extend_tabled(v, dec, rec)
+    xe = _bcast(xe, state.ndim)
+    xo = _bcast(xo, state.ndim)
+    even = fr.add(u, fr.mul(xe, v))
+    odd = fr.add(u_ext, fr.mul(xo, v_ext))
+    st = jnp.stack([even, odd], axis=-1)  # (..., V/2, sz, 2)
+    return st.reshape(*st.shape[:-3], st.shape[-3], 2 * st.shape[-2])
 
 
-def _exit_tabled(evals: jnp.ndarray, exts1, exts0, z0invs, ztails) -> jnp.ndarray:
-    """Evals on view leaves -> coefficients (interpolation) via
-    P = A + Z0 * B (the role of the reference FFTree's z0_inv_s1 /
-    z1_inv_s0 fields, src/srs.rs:92-99).
-    (reference: FFTree::exit, used by compute_vanishing_polynomial,
-    src/ec_fft.rs:241-282)
-    """
-    n = evals.shape[-1]
-    K = len(exts1)
-    state = evals[..., None, :]  # (20, *B, V=1, s=n)
-    for k in range(K):
-        y0 = state[..., 0::2]
-        y1 = state[..., 1::2]
-        a_odd = _extend_tabled(y0, *exts1[k])
-        z0inv = _bcast(z0invs[k], state.ndim)
-        b_odd = fr.mul(fr.sub(y1, a_odd), z0inv)
-        b_even = _extend_tabled(b_odd, *exts0[k])
-        st = jnp.stack([y0, b_even], axis=-2)  # (..., V, 2, s/2)
-        state = st.reshape(*st.shape[:-3], -1, st.shape[-1])
-    # bottom: coefficients of constants are the values themselves
-    for k in reversed(range(K)):
-        sz = n >> (k + 1)
-        st = state.reshape(*state.shape[:-2], -1, 2, sz)
-        A, B = st[..., 0, :], st[..., 1, :]
-        z0t = _bcast(ztails[k], st.ndim - 1)
-        prod = polymul(z0t, B)  # (..., V, 2*sz - 1)
-        out = jnp.concatenate([A, B], axis=-1)
-        out = out.at[..., : 2 * sz - 1].set(
-            fr.add(out[..., : 2 * sz - 1], prod)
-        )
-        state = out
-    return state[..., 0, :]
+def _exit_fwd_level(state, ext1, ext0, z0inv):
+    """One forward exit level: P = A + Z0 * B decomposition (the role of
+    the reference FFTree's z0_inv_s1 / z1_inv_s0 fields, src/srs.rs:92-99;
+    FFTree::exit via compute_vanishing_polynomial, src/ec_fft.rs:241-282)."""
+    y0 = state[..., 0::2]
+    y1 = state[..., 1::2]
+    a_odd = _extend_tabled(y0, *ext1)
+    z0inv = _bcast(z0inv, state.ndim)
+    b_odd = fr.mul(fr.sub(y1, a_odd), z0inv)
+    b_even = _extend_tabled(b_odd, *ext0)
+    st = jnp.stack([y0, b_even], axis=-2)  # (..., V, 2, s/2)
+    return st.reshape(*st.shape[:-3], -1, st.shape[-1])
+
+
+def _exit_bwd_level(state, ztail):
+    """One backward exit level: coefficient recombination
+    P = [A ‖ B] + Z0_tail * B (batched Karatsuba polymul)."""
+    sz = state.shape[-1]
+    st = state.reshape(*state.shape[:-2], -1, 2, sz)
+    A, B = st[..., 0, :], st[..., 1, :]
+    z0t = _bcast(ztail, st.ndim - 1)
+    prod = polymul(z0t, B)  # (..., V, 2*sz - 1)
+    out = jnp.concatenate([A, B], axis=-1)
+    out = out.at[..., : 2 * sz - 1].set(fr.add(out[..., : 2 * sz - 1], prod))
+    return out

@@ -56,12 +56,16 @@ def prover_prepares_precomputes(cache_dir: str, validate_precompute: bool = True
 
 
 def _eval_z_all_leaves(tree2n, z_poly):
-    """Evaluate the (m+1)-coeff Z over all 2m leaves via enter + Horner tail."""
+    """Evaluate the (m+1)-coeff Z over all 2m leaves via enter + Horner
+    tail (host-side padding: eager device slices are remote compiles on
+    the tunneled backend)."""
     leaves = tree2n.leaves(0)
     n = leaves.shape[-1]
-    pad = jnp.zeros((fr.NLIMB, n - z_poly.shape[-1] + 1), dtype=jnp.int32)
-    tail = tree2n.enter(jnp.concatenate([z_poly[:, 1:], pad], axis=-1), 0)
-    return pre._jit_horner_step(tail, leaves, z_poly[..., 0])
+    zc = np.asarray(jax.device_get(z_poly))
+    padded = np.zeros((fr.NLIMB, n), dtype=np.int32)
+    padded[:, : zc.shape[-1] - 1] = zc[:, 1:]
+    tail = tree2n.enter(jnp.asarray(padded), 0)
+    return pre._jit_horner_step(tail, leaves, jnp.asarray(zc[..., 0]))
 
 
 @jax.jit
