@@ -387,20 +387,89 @@ def _msm_chunk_cols() -> int:
     return int(os.environ.get("DVPARI_MSM_CHUNK_COLS", "512"))
 
 
+def _recode_impl() -> str:
+    """"device" (default): tau-NAF recoding runs on-chip as a jitted XLA
+    program (ops/tnaf_device.py) -- the MSM never touches the host.
+    "host": the native OpenMP recoder with chunk-pipelined transfers
+    (kept as an escape hatch and for the fixed-base mulgen fan-out,
+    whose outputs are written to disk anyway)."""
+    import os
+
+    return os.environ.get("DVPARI_RECODE", "device")
+
+
+# One compiled program per (array shape, chunk width): slice offsets are
+# traced dynamic_slice arguments, NOT static slice bounds -- eager
+# per-offset slicing would compile one program per chunk offset on the
+# tunneled TPU backend (~45 s each, see fftree/tree.py's table-prep note).
+_recode_chunk_jits: dict = {}
+_ladder_chunk_jits: dict = {}
+
+
+def _msm_device_recoded(canon_dev, planes, on_device, C, ck):
+    """Fully device-resident chunked MSM: per chunk, dynamic-slice the
+    canonical scalars, recode to digit masks on-chip, run the fused
+    Pallas ladder; fold partials on-chip.  Returns (result planes,
+    recode self-check bools to assert after the final fetch)."""
+    from dvpari_tpu.ops import pallas_msm
+    from dvpari_tpu.ops import tnaf_device as tdev
+    from dvpari_tpu.ops import xsk233_bs as bs
+
+    Cp = -(-C // ck) * ck  # pad to whole chunks: one program for all
+    if canon_dev.shape[-1] != 32 * Cp:  # zero scalars recode to infinity
+        canon_dev = jnp.pad(
+            canon_dev, ((0, 0), (0, 32 * Cp - canon_dev.shape[-1]))
+        )
+    if Cp != C:  # zero planes are infinity points under the complete add
+        planes = (
+            jnp.pad(planes, ((0, 0), (0, 0), (0, Cp - C)))
+            if on_device
+            else np.pad(planes, ((0, 0), (0, 0), (0, Cp - C)))
+        )
+    if not on_device:
+        planes = jnp.asarray(planes)  # single upload; sliced on device
+
+    rk = (canon_dev.shape, ck)
+    if rk not in _recode_chunk_jits:
+        _recode_chunk_jits[rk] = jax.jit(
+            lambda canon, i: tdev.recode_masks(
+                jax.lax.dynamic_slice_in_dim(canon, i, 32 * ck, axis=1)
+            )
+        )
+    lk = (planes.shape, ck)
+    if lk not in _ladder_chunk_jits:
+        _ladder_chunk_jits[lk] = jax.jit(
+            lambda oh, ng, pl, c0: pallas_msm.msm_packed(
+                oh, ng, jax.lax.dynamic_slice_in_dim(pl, c0, ck, axis=2)
+            )
+        )
+    recode_fn = _recode_chunk_jits[rk]
+    ladder_fn = _ladder_chunk_jits[lk]
+
+    partials, oks = [], []
+    for c0 in range(0, Cp, ck):
+        oh, ng, ok = recode_fn(canon_dev, 32 * c0)
+        partials.append(ladder_fn(oh, ng, planes, c0))
+        oks.append(ok)
+    if len(partials) == 1:
+        return partials[0], oks
+    return bs.fold_cols(jnp.stack(partials, axis=-1)), oks
+
+
 def _msm_limbs_bitsliced(
     scalars: jnp.ndarray, points: jnp.ndarray, planes=None
 ) -> jnp.ndarray:
-    """Bit-sliced Pallas MSM: native recode-to-masks + plane packing +
-    fused on-chip ladder (ops/pallas_msm.py).  ~9x the word-sliced
-    device throughput at 2^14.  `planes` (value or zero-arg callable)
-    supplies a pre-packed bit-plane layout, e.g. the .planes.npz SRS
-    sidecar (storage/artifacts.py:read_point_vec_planes).
+    """Bit-sliced Pallas MSM: recode-to-masks + plane packing + fused
+    on-chip ladder (ops/pallas_msm.py).  ~9x the word-sliced device
+    throughput at 2^14.  `planes` (value or zero-arg callable) supplies
+    a pre-packed bit-plane layout, e.g. the .planes.npz SRS sidecar
+    (storage/artifacts.py:read_point_vec_planes).
 
-    Large MSMs are cut into equal column chunks: each chunk's digit
-    masks are recoded on host (native, OpenMP) while the previous
-    chunk's ladder runs on device (dispatch is async), and the partial
-    results fold on device at the end -- recoding cost is hidden
-    behind the ladder instead of serialized in front of it."""
+    Default path recodes ON-DEVICE (ops/tnaf_device.py): with the planes
+    cached device-resident, a prove's MSMs move zero O(n) bytes over the
+    host link.  DVPARI_RECODE=host restores the native OpenMP recoder
+    with chunk-pipelined transfers (each chunk's masks recode on host
+    while the previous chunk's ladder runs on device)."""
     global _strongnorm_jit
     from dvpari_tpu.ops import fr
     from dvpari_tpu.ops import xsk233_bs as bs
@@ -431,6 +500,17 @@ def _msm_limbs_bitsliced(
         f"(expected {want_c}): stale .planes.npz?"
     )
     ck = _msm_chunk_cols()
+    if _recode_impl() == "device":
+        res, oks = _msm_device_recoded(
+            canon_dev, planes, on_device, C, min(C, ck)
+        )
+        out = jnp.asarray(bs.extract_point(res, 0))
+        # extract_point fetched the result, so the ok bools are computed;
+        # asserting after the fetch keeps the pipeline fully async
+        assert all(bool(np.asarray(jax.device_get(o))) for o in oks), (
+            "device tau-NAF recode self-check failed"
+        )
+        return out
     if C <= ck:
         canon = np.asarray(jax.device_get(canon_dev))
         oh, ng = recode_masks_bulk(canon)
