@@ -10,6 +10,13 @@ Exceptional cases cannot occur: partial sums live in the coset
 C + <G> while the added points live in <G>, and the coset is chosen
 disjoint (reference: src/ec_fft.rs:222-228) - so x1 != x2 always and
 plain affine formulas are safe.
+
+The WHOLE build is one jitted program with every isogeny constant
+passed as an argument: per-layer eager slices / per-layer jits with
+embedded constants would cost one remote compile EACH on the tunneled
+TPU backend (~45 s x 19 layers at 2^19 -- measured as a 45-minute
+zpoly-stage hang, r3) and would never hit the persistent cache across
+domain sizes.
 """
 
 from __future__ import annotations
@@ -31,9 +38,13 @@ def _affine_add(X, Y, gx, gy):
     return x3, y3
 
 
+_build_jits: dict = {}
+
+
 def build_layers_device(meta: aux_curve.ChainMeta, domain_len: int):
     """Returns the list of per-layer x-coordinate arrays (int32[20, n_l])."""
     log_n = domain_len.bit_length() - 1
+    n_iso = len(meta.layers) - 1
     # stacked generator-double table: (log_n, 2, 20) limbs
     gen_tab = np.stack(
         [
@@ -42,38 +53,58 @@ def build_layers_device(meta: aux_curve.ChainMeta, domain_len: int):
         ],
         axis=0,
     ) if log_n else np.zeros((0, 2, fr.NLIMB), np.int32)
+    coset = np.stack(
+        [fr.from_int(meta.coset[0]), fr.from_int(meta.coset[1])], axis=0
+    )
+    iso_x0 = (
+        np.stack([fr.from_int(iso.x0) for _, iso in meta.layers[:-1]], axis=0)
+        if n_iso
+        else np.zeros((0, fr.NLIMB), np.int32)
+    )
+    iso_t = (
+        np.stack([fr.from_int(iso.t) for _, iso in meta.layers[:-1]], axis=0)
+        if n_iso
+        else np.zeros((0, fr.NLIMB), np.int32)
+    )
 
-    @jax.jit
-    def layer0():
-        X = fr.broadcast_scalar(fr.from_int(meta.coset[0]), (domain_len,))
-        Y = fr.broadcast_scalar(fr.from_int(meta.coset[1]), (domain_len,))
-        idx = jnp.arange(domain_len, dtype=jnp.int32)
-        tab = jnp.asarray(gen_tab)
+    key = (domain_len, log_n, n_iso)
+    if key not in _build_jits:
 
-        def body(j, carry):
-            X, Y = carry
-            g = jax.lax.dynamic_index_in_dim(tab, j, keepdims=False)  # (2, 20)
-            gx = jnp.broadcast_to(g[0][:, None], (fr.NLIMB, domain_len))
-            gy = jnp.broadcast_to(g[1][:, None], (fr.NLIMB, domain_len))
-            x3, y3 = _affine_add(X, Y, gx, gy)
-            mask = ((idx >> j) & 1) == 1
-            return fr.select(mask, x3, X), fr.select(mask, y3, Y)
+        @jax.jit
+        def all_layers(tab, cos, x0s, ts):
+            X = jnp.broadcast_to(cos[0][:, None], (fr.NLIMB, domain_len))
+            Y = jnp.broadcast_to(cos[1][:, None], (fr.NLIMB, domain_len))
+            idx = jnp.arange(domain_len, dtype=jnp.int32)
 
-        X, Y = jax.lax.fori_loop(0, log_n, body, (X, Y))
-        return X
+            def body(j, carry):
+                X, Y = carry
+                g = jax.lax.dynamic_index_in_dim(tab, j, keepdims=False)
+                gx = jnp.broadcast_to(g[0][:, None], (fr.NLIMB, domain_len))
+                gy = jnp.broadcast_to(g[1][:, None], (fr.NLIMB, domain_len))
+                x3, y3 = _affine_add(X, Y, gx, gy)
+                mask = ((idx >> j) & 1) == 1
+                return fr.select(mask, x3, X), fr.select(mask, y3, Y)
 
-    layers = [layer0()]
-    n = domain_len
-    for curve, iso in meta.layers[:-1]:
-        xs = layers[-1][:, : n // 2]
+            X, _ = jax.lax.fori_loop(0, log_n, body, (X, Y))
+            outs = [X]
+            n = domain_len
+            for i in range(n_iso):
+                xs = outs[-1][:, : n // 2]
+                x0 = jnp.broadcast_to(x0s[i][:, None], (fr.NLIMB, n // 2))
+                t = jnp.broadcast_to(ts[i][:, None], (fr.NLIMB, n // 2))
+                num = fr.add(fr.sub(fr.square(xs), fr.mul(x0, xs)), t)
+                den_inv = fr.batch_inverse(fr.sub(xs, x0), axis=0)
+                outs.append(fr.mul(num, den_inv))
+                n //= 2
+            return outs
 
-        def map_x(xs, iso=iso):
-            x0 = fr.broadcast_scalar(fr.from_int(iso.x0), xs.shape[1:])
-            t = fr.broadcast_scalar(fr.from_int(iso.t), xs.shape[1:])
-            num = fr.add(fr.sub(fr.square(xs), fr.mul(x0, xs)), t)
-            den_inv = fr.batch_inverse(fr.sub(xs, x0), axis=0)
-            return fr.mul(num, den_inv)
+        _build_jits[key] = all_layers
 
-        layers.append(jax.jit(map_x)(xs))
-        n //= 2
-    return layers
+    return list(
+        _build_jits[key](
+            jnp.asarray(gen_tab),
+            jnp.asarray(coset),
+            jnp.asarray(iso_x0),
+            jnp.asarray(iso_t),
+        )
+    )
