@@ -169,9 +169,12 @@ def _partmod_limbs(canon: jnp.ndarray) -> "tuple[jnp.ndarray, jnp.ndarray]":
     rho1 = _carry_pass(rho1, _R12)
 
     def pair24(l12):
-        return jnp.stack(
-            [l12[2 * i] + (l12[2 * i + 1] << 12) for i in range(_RL)]
-        )
+        limbs = [l12[2 * i] + (l12[2 * i + 1] << 12) for i in range(_RL)]
+        # _carry_pass normalizes mod 2^168 (two's complement); the scan
+        # needs the EXACT integer, and |rho| < 2^122 << 2^167, so sign-
+        # extending the top limb recovers it: subtract 2^24 if bit 167.
+        limbs[-1] = limbs[-1] - (((limbs[-1] >> 23) & 1) << 24)
+        return jnp.stack(limbs)
 
     return pair24(rho0), pair24(rho1)
 
@@ -193,34 +196,55 @@ def _norm24(limbs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
-def _half24(limbs: jnp.ndarray) -> jnp.ndarray:
-    """Exact >> 1 of an even two's-complement number (arithmetic shift:
-    bit 0 of limb i+1 moves into bit 23 of limb i; the top limb
-    sign-extends from its bit 23)."""
-    lo = limbs >> 1
-    borrow = jnp.concatenate(
-        [(limbs[1:] & 1) << 23, ((limbs[-1:] >> 23) & 1) << 23]
-    )
-    return lo | borrow
+def _renorm_lazy(limbs: jnp.ndarray) -> jnp.ndarray:
+    """One vectorized carry-extraction step (NOT a full propagation):
+    push each limb's overflow one limb up.  The TOP limb keeps its own
+    overflow so the representation stays an EXACT plain integer -- the
+    scan's halving identity is exact-integer arithmetic, and silently
+    wrapping mod 2^(24*RL) would corrupt it for negative values
+    ((v + k*2^168)/2 = v/2 + k*2^167, not v/2 mod 2^168).  Lower limbs
+    stay in (-2, 2^24 + 2); the top limb drifts by O(1) per step
+    (values shrink toward zero, so it stays tiny)."""
+    t = limbs >> 24  # arithmetic: floor(l / 2^24), handles negatives
+    t = t.at[-1].set(0)  # top limb keeps its overflow: exact integer
+    lo = limbs - (t << 24)
+    carry_in = jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]], axis=0)
+    return lo + carry_in
+
+
+def _half_lazy(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Exact value/2 of an EVEN number in lazy signed limbs: per-limb
+    l = 2*(l>>1) + (l&1) identically for int32 two's complement, so
+    value/2 = sum (l_i>>1) 2^24i + sum (l_i&1) 2^(24i-1) -- each odd bit
+    drops one limb as +2^23 (limb 0 is even because the value is and
+    2^24 is)."""
+    odd_up = jnp.concatenate([limbs[1:], jnp.zeros_like(limbs[:1])], axis=0)
+    return (limbs >> 1) + ((odd_up & 1) << 23)
 
 
 def _tnaf_scan(c: jnp.ndarray, d: jnp.ndarray):
     """248 tau-NAF digit steps (ops/tnaf.py:tnaf_digits vectorized):
-    returns (digits (TNAF_LEN, N) int32 in {-1,0,1}, ok (N,) bool)."""
+    returns (digits (TNAF_LEN, N) int32 in {-1,0,1}, ok (N,) bool).
+
+    Limbs stay LAZY (signed, roughly-normalized) through the scan:
+    parity and mod-4 reads are exact on lazy limbs (2^24 == 0 mod 4),
+    halving is exact limb-wise, and a single vectorized carry extraction
+    per step replaces three sequential normalize passes (~2x fewer ops,
+    and (RL, N)-shaped tensor ops instead of per-limb (N,) chains)."""
 
     def step(carry, _):
         c, d = carry
-        odd = c[0] & 1
-        u = jnp.where(odd == 1, 2 - ((c[0] - 2 * d[0]) & 3), 0)
-        cm = _norm24(c.at[0].add(-u))
-        h = _half24(cm)  # cm even -> exact
-        new_c = _norm24(d - h)
-        new_d = _norm24(-h)
+        u = jnp.where(
+            (c[0] & 1) == 1, 2 - ((c[0] - 2 * d[0]) & 3), 0
+        )
+        h = _half_lazy(c.at[0].add(-u))  # (c - u) even -> exact
+        new_c = _renorm_lazy(d - h)
+        new_d = _renorm_lazy(-h)
         return (new_c, new_d), u
 
-    (c_end, d_end), digits = lax.scan(
-        step, (c, d), None, length=TNAF_LEN
-    )
+    (c_end, d_end), digits = lax.scan(step, (c, d), None, length=TNAF_LEN)
+    c_end = _norm24(c_end)  # one full normalization for the zero check
+    d_end = _norm24(d_end)
     ok = jnp.all(c_end == 0, axis=0) & jnp.all(d_end == 0, axis=0)
     return digits, ok
 
