@@ -100,10 +100,35 @@ class FFTree:
         self._ext_cache: dict = {}
         self._xnn_cache: dict = {}
         self._zc_cache: dict = {}
+        self._zc_np_cache: dict = {}
         self._z0odd_cache: dict = {}
         self._jit_cache: dict = {}
         self._np_cache: dict = {}
         self._dev_cache: dict = {}
+        # When the tree is an on-disk artifact, its derived tables
+        # (extend constants, x^n powers, z-chains) persist next to it:
+        # they are pure functions of the tree, and recomputing them costs
+        # ~20 min of local XLA compiles + device enters per PROCESS at
+        # 2^17+ (in-memory caches die with the process; the persistent
+        # compile cache does not cover the poisoned-AOT CPU entries).
+        # Set by storage/artifacts.py read_fftree/write_fftree.
+        self.table_dir: "str | None" = None
+
+    def _table_path(self, name: str) -> "str | None":
+        if not self.table_dir:
+            return None
+        import os
+
+        os.makedirs(self.table_dir, exist_ok=True)
+        return os.path.join(self.table_dir, name + ".npz")
+
+    def _table_load(self, name: str):
+        import os
+
+        p = self._table_path(name)
+        if p and os.path.exists(p):
+            return np.load(p)
+        return None
 
     # -- construction -------------------------------------------------------
 
@@ -210,12 +235,26 @@ class FFTree:
         key = (d, moiety)
         if key in self._ext_cache:
             return self._ext_cache[key]
+        tname = f"ext_{d}_{moiety}"
+        z = self._table_load(tname)
+        if z is not None:
+            K = int(z["K"])
+            dec = [
+                tuple(jax.device_put(z[f"d{k}_{i}"]) for i in range(4))
+                for k in range(K)
+            ]
+            rec = [
+                tuple(jax.device_put(z[f"r{k}_{i}"]) for i in range(4))
+                for k in range(K)
+            ]
+            self._ext_cache[key] = (dec, rec)
+            return self._ext_cache[key]
         m = self.n >> (d + 1)
         src_off = 0 if moiety == "S1" else (1 << d)
         tgt_off = (1 << d) if moiety == "S1" else 0
         stride = 1 << (d + 1)
         cpu = _cpu_device()
-        dec, rec = [], []
+        dec, rec, host = [], [], {}
         for k in range(_log2(m)):
             mk = m >> k
             half = mk >> 1
@@ -238,14 +277,28 @@ class FFTree:
                     dk, rk = fn(*args, x0)
             else:
                 dk, rk = fn(*args, x0)
-            dec.append(tuple(jax.device_put(np.asarray(v)) for v in dk))
-            rec.append(tuple(jax.device_put(np.asarray(v)) for v in rk))
+            dk = [np.asarray(v) for v in dk]
+            rk = [np.asarray(v) for v in rk]
+            for i in range(4):
+                host[f"d{k}_{i}"] = dk[i]
+                host[f"r{k}_{i}"] = rk[i]
+            dec.append(tuple(jax.device_put(v) for v in dk))
+            rec.append(tuple(jax.device_put(v) for v in rk))
+        p = self._table_path(tname)
+        if p:
+            np.savez(p, K=np.int64(_log2(m)), **host)
         self._ext_cache[key] = (dec, rec)
         return self._ext_cache[key]
 
     def _xnn(self, d: int):
         """x^(view_size/2) on even / odd leaves of view(d)."""
         if d in self._xnn_cache:
+            return self._xnn_cache[d]
+        z = self._table_load(f"xnn_{d}")
+        if z is not None:
+            self._xnn_cache[d] = (
+                jax.device_put(z["even"]), jax.device_put(z["odd"])
+            )
             return self._xnn_cache[d]
         sz = self.n >> (d + 1)
         lv = np.ascontiguousarray(self._layer_np(0)[:, :: 1 << d])
@@ -258,10 +311,12 @@ class FFTree:
                 vals = np.asarray(fn(lv))
         else:
             vals = np.asarray(fn(lv))
-        self._xnn_cache[d] = (
-            jax.device_put(np.ascontiguousarray(vals[:, 0::2])),
-            jax.device_put(np.ascontiguousarray(vals[:, 1::2])),
-        )
+        ev = np.ascontiguousarray(vals[:, 0::2])
+        od = np.ascontiguousarray(vals[:, 1::2])
+        p = self._table_path(f"xnn_{d}")
+        if p:
+            np.savez(p, even=ev, odd=od)
+        self._xnn_cache[d] = (jax.device_put(ev), jax.device_put(od))
         return self._xnn_cache[d]
 
     def z_coeffs(self, d: int) -> jnp.ndarray:
@@ -276,9 +331,14 @@ class FFTree:
         the host owns this artifact at scale.
         """
         if d not in self._zc_cache:
+            z = self._table_load(f"zc_{d}")
+            if z is not None:
+                self._zc_np_cache[d] = z["zc"]
+                self._zc_cache[d] = jnp.asarray(z["zc"])
+                return self._zc_cache[d]
             n_d = self.n >> d
             if n_d <= HOST_ZC_MAX:
-                self._zc_cache[d] = jnp.asarray(
+                got = np.asarray(
                     fr.from_int(_host_vanishing_coeffs(fr.to_int(self.leaves(d))))
                 )
             else:
@@ -289,15 +349,34 @@ class FFTree:
                     got = fr.from_int(
                         kronecker.vanishing_coeffs(fr.to_int(self.leaves(d)), fr.P)
                     )
-                self._zc_cache[d] = jnp.asarray(got)
+                got = np.asarray(got)
+            p = self._table_path(f"zc_{d}")
+            if p:
+                np.savez(p, zc=got)
+            self._zc_np_cache[d] = got
+            self._zc_cache[d] = jnp.asarray(got)
         return self._zc_cache[d]
+
+    def _zc_np(self, d: int) -> np.ndarray:
+        """Host copy of z_coeffs(d) (no eager device slices downstream)."""
+        if d not in self._zc_np_cache:
+            self.z_coeffs(d)
+            if d not in self._zc_np_cache:  # pre-table in-memory hit
+                self._zc_np_cache[d] = np.asarray(
+                    jax.device_get(self._zc_cache[d])
+                )
+        return self._zc_np_cache[d]
 
     def _z0_inv_odd(self, d: int) -> jnp.ndarray:
         """1 / Z_{view(d+1)} evaluated at the odd leaves of view(d)."""
         if d in self._z0odd_cache:
             return self._z0odd_cache[d]
+        z = self._table_load(f"z0inv_{d}")
+        if z is not None:
+            self._z0odd_cache[d] = jax.device_put(z["inv"])
+            return self._z0odd_cache[d]
         n = self.n >> d
-        zc = np.asarray(jax.device_get(self.z_coeffs(d + 1)))  # (20, n/2+1)
+        zc = self._zc_np(d + 1)  # (20, n/2+1)
         padded = np.zeros((fr.NLIMB, n), dtype=np.int32)
         padded[:, : zc.shape[-1]] = zc
         ev = self.enter(jnp.asarray(padded), d)
@@ -305,7 +384,11 @@ class FFTree:
             ("z0invodd", ev.shape),
             lambda e: fr.batch_inverse(e[:, 1::2], axis=0),
         )
-        self._z0odd_cache[d] = fn(ev)
+        out = fn(ev)
+        p = self._table_path(f"z0inv_{d}")
+        if p:
+            np.savez(p, inv=np.asarray(jax.device_get(out)))
+        self._z0odd_cache[d] = out
         return self._z0odd_cache[d]
 
     def vanish_coeffs_subset(self, indices, d: int = 0) -> jnp.ndarray:
@@ -325,7 +408,7 @@ class FFTree:
         even moiety) - the reference's `vanish(S0)` use
         (reference: src/ec_fft.rs:241-282)."""
         n = self.n >> d
-        zc = np.asarray(jax.device_get(self.z_coeffs(d + 1)))
+        zc = self._zc_np(d + 1)
         padded = np.zeros((fr.NLIMB, n), dtype=np.int32)
         padded[:, : zc.shape[-1]] = zc
         return self.enter(jnp.asarray(padded), d)
@@ -399,9 +482,15 @@ class FFTree:
         return _extend_tabled(evals, dec, rec)
 
     def _z0_tail(self, d: int) -> jnp.ndarray:
-        """Z_{view(d)} minus its monic top term: (20, n_d) coefficients."""
-        zc = self.z_coeffs(d)
-        return zc[..., :-1]
+        """Z_{view(d)} minus its monic top term: (20, n_d) coefficients
+        (host slice: an eager device slice is a remote compile on the
+        tunneled backend)."""
+        key = ("z0tail", d)
+        if key not in self._dev_cache:
+            self._dev_cache[key] = jnp.asarray(
+                np.ascontiguousarray(self._zc_np(d)[..., :-1])
+            )
+        return self._dev_cache[key]
 
 
 # -- tabled transform bodies (module-level: jitted with the per-level

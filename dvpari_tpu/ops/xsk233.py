@@ -540,32 +540,43 @@ def _msm_limbs_bitsliced(
 
 
 def _msm_limbs_bs_sharded(scalars, points, planes, mesh) -> jnp.ndarray:
-    """Bit-sliced MSM across the device mesh: native recode-to-masks on
-    host, then plane columns shard over the devices and each shard runs
-    the fused engine (Pallas on TPU meshes; see
-    parallel/sharded.py:msm_bs_sharded).  The multi-chip form of the
-    production path -- the reference's rayon map+reduce
-    (src/curve.rs:141-158) spread over chips."""
+    """Bit-sliced MSM across the device mesh.  Default: canonical
+    scalars shard over the devices and each shard recodes ON-CHIP then
+    runs the fused engine (parallel/sharded.py:msm_bs_sharded_canon) --
+    no recode bytes cross the host link.  DVPARI_RECODE=host keeps the
+    native OpenMP recode + mask sharding (msm_bs_sharded).  Either way
+    the per-shard partials fold over ICI -- the reference's rayon
+    map+reduce (src/curve.rs:141-158) spread over chips."""
     global _strongnorm_jit
     from dvpari_tpu.ops import fr
     from dvpari_tpu.ops import xsk233_bs as bs
     from dvpari_tpu.ops.tnaf import recode_masks_bulk
-    from dvpari_tpu.parallel.sharded import msm_bs_sharded
+    from dvpari_tpu.parallel.sharded import msm_bs_sharded, msm_bs_sharded_canon
 
     if _strongnorm_jit is None:
         _strongnorm_jit = jax.jit(fr.strong_normalize)
-    canon = np.asarray(jax.device_get(_strongnorm_jit(scalars)))
+    canon_dev = _strongnorm_jit(scalars)
     if callable(planes):
         planes = planes()
     if planes is None:
         if callable(points):
             points = points()
         planes = bs.pack_points(np.asarray(jax.device_get(points)))
-    planes = np.asarray(planes)
     n = int(scalars.shape[-1])
     assert planes.shape[-1] == -(-n // 32), (
         f"bit-plane sidecar has {planes.shape[-1]} columns for {n} scalars"
     )
+    if _recode_impl() == "device":
+        res, ok = msm_bs_sharded_canon(
+            canon_dev, jnp.asarray(planes), mesh, _msm_chunk_cols()
+        )
+        out = jnp.asarray(bs.extract_point(res, 0))
+        assert bool(np.asarray(jax.device_get(ok)).all()), (
+            "device tau-NAF recode self-check failed (sharded)"
+        )
+        return out
+    canon = np.asarray(jax.device_get(canon_dev))
+    planes = np.asarray(planes)
     oh, ng = recode_masks_bulk(canon)
     res = msm_bs_sharded(
         jnp.asarray(oh), jnp.asarray(ng), jnp.asarray(planes), mesh

@@ -126,6 +126,88 @@ def _msm_bs_sharded_fn(mesh):
     return run
 
 
+def msm_bs_sharded_canon(canon, planes, mesh, chunk_cols: int):
+    """Bit-sliced MSM across the mesh with ON-DEVICE recoding: the
+    CANONICAL scalars shard over the devices, each shard recodes its
+    slice to digit masks on-chip (ops/tnaf_device.py) and runs the
+    fused ladder chunk-by-chunk -- the multi-chip MSM moves no recode
+    bytes between host and chips at all (multi-chip form of
+    ops/xsk233.py:_msm_device_recoded).
+
+    canon int32[20, n] (strong-normalized), planes uint32[3, 233, C]
+    with C == ceil32(n).  Returns ((3, 233) planes with the answer in
+    bit 0, ok bool[ndev] recode self-checks).
+    """
+    ndev = mesh.devices.size
+    C = planes.shape[-1]
+    n = canon.shape[-1]
+    cols_per_shard = -(-C // ndev)
+    # whole 32-point columns per shard; chunking inside is static
+    Cp = cols_per_shard * ndev
+    if Cp != C:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, Cp - C)))
+    if canon.shape[-1] != 32 * Cp:
+        canon = jnp.pad(canon, ((0, 0), (0, 32 * Cp - n)))
+    ck = min(chunk_cols, cols_per_shard)
+    nchunks = -(-cols_per_shard // ck)
+    if nchunks * ck != cols_per_shard:  # pad shards to whole chunks
+        extra = nchunks * ck * ndev - Cp
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, extra)))
+        canon = jnp.pad(canon, ((0, 0), (0, 32 * extra)))
+    res, ok = _msm_bs_sharded_canon_fn(mesh, ck, nchunks)(canon, planes)
+    return res, ok
+
+
+@lru_cache(maxsize=None)
+def _msm_bs_sharded_canon_fn(mesh, ck: int, nchunks: int):
+    import os
+
+    from dvpari_tpu.ops import tnaf_device as tdev
+    from dvpari_tpu.ops import xsk233_bs as bs
+
+    use_pallas = (
+        next(iter(mesh.devices.flat)).platform == "tpu"
+        and os.environ.get("DVPARI_SHARD_PALLAS", "1") != "0"
+    )
+
+    def ladder(oh, ng, pl):
+        if use_pallas:
+            from dvpari_tpu.ops import pallas_msm
+
+            return pallas_msm.msm_packed(oh, ng, pl)
+        return bs._msm_core(oh, ng, pl)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, SHARD_AXIS), P(None, None, SHARD_AXIS)),
+        out_specs=(P(None, None, SHARD_AXIS), P(SHARD_AXIS)),
+        check_rep=False,
+    )
+    def local(cn, pl):
+        partials, oks = [], []
+        for c in range(nchunks):
+            oh, ng, ok = tdev.recode_masks(
+                jax.lax.dynamic_slice_in_dim(cn, 32 * ck * c, 32 * ck, axis=1)
+            )
+            partials.append(
+                ladder(oh, ng, jax.lax.dynamic_slice_in_dim(pl, ck * c, ck, axis=2))
+            )
+            oks.append(ok)
+        if len(partials) == 1:
+            res = partials[0]
+        else:
+            res = bs._fold_cols_core(jnp.stack(partials, axis=-1))[..., 0]
+        return res[..., None], jnp.stack(oks).all()[None]
+
+    @jax.jit
+    def run(cn, pl):
+        res, ok = local(cn, pl)
+        return bs.fold_cols(res), ok
+
+    return run
+
+
 @lru_cache(maxsize=None)
 def _msm_frob_sharded_fn(mesh):
     @partial(

@@ -311,6 +311,7 @@ def write_fftree(path: str, tree: FFTree) -> None:
         [tree.n, int(tree.shift_by_one), tree.base_log_n], dtype=np.int64
     )
     np.savez(path + ".npz", **arrs)
+    tree.table_dir = path + ".tables"  # persist derived tables alongside
 
 
 def read_fftree(path: str) -> FFTree:
@@ -319,7 +320,12 @@ def read_fftree(path: str) -> FFTree:
     nlayers = n.bit_length()  # log2(n) + 1
     layers = [jnp.asarray(z[f"layer{i}"]) for i in range(nlayers)]
     x0s = [int.from_bytes(bytes(row), "little") for row in z["x0s"]]
-    return FFTree(layers, x0s, bool(shift), base_log_n)
+    tree = FFTree(layers, x0s, bool(shift), base_log_n)
+    # derived tables (extend constants, x^n powers, z-chains) persist
+    # next to the tree: recomputing them costs ~20 min of local compiles
+    # + device enters per process at 2^17+ (see FFTree.table_dir)
+    tree.table_dir = path + ".tables"
+    return tree
 
 
 def fftree_exists(path: str) -> bool:

@@ -61,6 +61,35 @@ def test_msm_bs_sharded_matches_host():
     assert xsk233.to_affine_int(jnp.asarray(got)) == expect
 
 
+def test_msm_bs_sharded_canon_matches_host(no_persistent_compile_cache):
+    """The DEVICE-RECODE sharded MSM (canonical scalars shard over the
+    mesh, each shard recodes on-chip and chunks its ladder): must agree
+    with the host oracle, including column padding to whole per-shard
+    chunks (n=520 -> 17 columns -> 3 cols/shard -> 2 chunks of 2 -> 32
+    padded columns) and the per-shard recode self-checks."""
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import xsk233_bs as bs
+    from dvpari_tpu.parallel.sharded import msm_bs_sharded_canon
+
+    mesh = make_mesh(8)
+    rng = random.Random(31)
+    n = 520
+    ks = [rng.randrange(0, host.R) for _ in range(n)]
+    ks[100] = 0
+    pts_aff = [host.smul(k, (host.GX, host.GY)) for k in
+               (rng.randrange(1, host.R) for _ in range(n))]
+    points = np.asarray(xsk233.from_affine_int(pts_aff))
+    planes = bs.pack_points(points)
+    canon = jnp.asarray(fr.from_int(ks))
+    res, ok = msm_bs_sharded_canon(canon, jnp.asarray(planes), mesh, 2)
+    assert bool(np.asarray(jax.device_get(ok)).all())
+    got = bs.extract_point(np.asarray(jax.device_get(res)), 0)
+    expect = None
+    for k, p in zip(ks, pts_aff):
+        expect = host.add(expect, host.smul(k, p))
+    assert xsk233.to_affine_int(jnp.asarray(got)) == expect
+
+
 def test_msm_limbs_routes_bs_sharded(monkeypatch):
     """msm_limbs(mesh=...) with the bit-sliced impl must take the
     sharded production path: strong-normalize + native recode-to-masks
@@ -74,6 +103,7 @@ def test_msm_limbs_routes_bs_sharded(monkeypatch):
     from dvpari_tpu.parallel import sharded
 
     monkeypatch.setenv("DVPARI_MSM_IMPL", "bs")
+    monkeypatch.setenv("DVPARI_RECODE", "host")  # pin the HOST plumbing
     mesh = make_mesh(8)
     n = 40  # ragged: 2 columns of 32
     ks = [random.Random(5).randrange(1, host.R) for _ in range(n)]
