@@ -51,8 +51,8 @@ def pack_words(words: np.ndarray) -> np.ndarray:
     packed = np.packbits(
         bits.reshape(M, n // 32, 32), axis=2, bitorder="little"
     )  # (233, n/32, 4) uint8
-    return packed.view(np.uint32)[..., 0].copy()  # LE machine assumed? no:
-    # packbits LE gives 4 bytes little-endian order -> view as uint32 LE
+    # packbits(LE) emits 4 bytes in little-endian order -> view as uint32 LE
+    return packed.view(np.uint32)[..., 0].copy()
 
 
 def unpack_words(planes: np.ndarray) -> np.ndarray:

@@ -24,11 +24,6 @@ def make_mesh(n_devices: "int | None" = None) -> Mesh:
     return Mesh(np.array(devs), (SHARD_AXIS,))
 
 
-def domain_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard a (..., n) domain-indexed array over its trailing axis."""
-    return NamedSharding(mesh, P(*([None] * 0), SHARD_AXIS))
-
-
 def spec_last(ndim: int) -> P:
     """PartitionSpec sharding only the last of `ndim` axes."""
     return P(*([None] * (ndim - 1) + [SHARD_AXIS]))

@@ -59,6 +59,56 @@ FR_RECORD = 29  # ceil(232/8)
 PT_RECORD = 30
 
 
+# --- sidecar integrity -------------------------------------------------------
+# The 30-byte record file is the source of truth; sidecars are derived
+# caches.  Each sidecar stores TWO digests -- "SRC" over the record file
+# it was derived from (catches a stale sidecar paired with a different
+# source) and "SELF" over its own payload arrays (catches in-place
+# sidecar corruption) -- and readers verify both, falling back to record
+# decode on mismatch.  The reference validates every point on read
+# (src/io_utils.rs:217-226); this is the bulk-sidecar equivalent.
+# blake2b (hashlib, C speed) rather than the protocol's from-scratch
+# blake3: integrity only, not transcript material.
+
+_PAYLOAD_KEYS = ("X", "Y", "Z", "P")  # fast: X/Y/Z; planes: P
+
+
+def _file_digest(path: str) -> np.ndarray:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 24)
+            if not chunk:
+                break
+            h.update(chunk)
+    return np.frombuffer(h.digest(), dtype=np.uint8)
+
+
+def _payload_digest(arrs: "dict[str, np.ndarray]") -> np.ndarray:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for k in _PAYLOAD_KEYS:
+        if k in arrs:
+            h.update(np.ascontiguousarray(arrs[k]).tobytes())
+    return np.frombuffer(h.digest(), dtype=np.uint8)
+
+
+def _sidecar_fresh(path: str, npz) -> bool:
+    """True iff the sidecar matches both its source file and itself."""
+    files = set(getattr(npz, "files", ()))
+    if "SRC" not in files or "SELF" not in files:
+        return False  # legacy sidecar: treat as stale, re-derive
+    if not os.path.exists(path):
+        return False
+    if not np.array_equal(npz["SRC"], _file_digest(path)):
+        return False
+    payload = {k: npz[k] for k in _PAYLOAD_KEYS if k in files}
+    return bool(np.array_equal(npz["SELF"], _payload_digest(payload)))
+
+
 # --- Fr vectors ------------------------------------------------------------
 
 _jit_strong = jax.jit(fr.strong_normalize)
@@ -124,25 +174,33 @@ def write_point_vec(path: str, points: jnp.ndarray, planes=None) -> None:
     if os.path.exists(path + ".planes.npz"):
         os.remove(path + ".planes.npz")
 
+    import hashlib
+
     if native.available():
         arr = np.asarray(jax.device_get(points))
         n = arr.shape[-1]
         proj = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
+        h = hashlib.blake2b(digest_size=16)
         with open(path, "wb") as f:
-            f.write(struct.pack("<Q", n))
+            hdr = struct.pack("<Q", n)
+            f.write(hdr)
+            h.update(hdr)
             for s in range(0, n, IO_CHUNK):
                 xy, inf = _native_batch_affine(arr[..., s : s + IO_CHUNK])
-                f.write(native.encode_bulk(xy, inf))
+                recs = native.encode_bulk(xy, inf)
+                f.write(recs)
+                h.update(recs)
                 proj[..., s : s + xy.shape[0]] = _words64_to_proj(xy, inf)
-        np.savez(path + ".fast.npz", X=proj[0], Y=proj[1], Z=proj[2])
+        src = np.frombuffer(h.digest(), dtype=np.uint8)
+        _save_fast_sidecar(path, proj, src)
         if n >= 4096:  # MSM-sized: pre-pack the bit-plane sidecar too
             from dvpari_tpu.ops import xsk233_bs as bs
 
             if planes is not None:
                 assert planes.shape[-1] == -(-n // 32), (planes.shape, n)
-                np.savez(path + ".planes.npz", P=np.asarray(planes))
+                _save_planes_sidecar(path, np.asarray(planes), src)
             else:
-                np.savez(path + ".planes.npz", P=bs.pack_points(proj))
+                _save_planes_sidecar(path, bs.pack_points(proj), src)
         return
 
     from dvpari_tpu.utils import xsk233_host as host
@@ -191,6 +249,20 @@ def _words64_to_proj(xy: np.ndarray, inf: np.ndarray) -> np.ndarray:
     return out
 
 
+def _save_fast_sidecar(path: str, proj: np.ndarray, src: np.ndarray) -> None:
+    payload = {"X": proj[0], "Y": proj[1], "Z": proj[2]}
+    np.savez(
+        path + ".fast.npz", SRC=src, SELF=_payload_digest(payload), **payload
+    )
+
+
+def _save_planes_sidecar(path: str, planes: np.ndarray, src: np.ndarray) -> None:
+    payload = {"P": planes}
+    np.savez(
+        path + ".planes.npz", SRC=src, SELF=_payload_digest(payload), **payload
+    )
+
+
 def _write_point_sidecar(path: str, affine: list) -> None:
     n = len(affine)
     X = np.zeros((gf2.NWORD, n), dtype=np.uint32)
@@ -201,7 +273,7 @@ def _write_point_sidecar(path: str, affine: list) -> None:
             X[:, j] = gf2.from_int(p[0])
             Y[:, j] = gf2.from_int(p[1])
             Z[0, j] = 1
-    np.savez(path + ".fast.npz", X=X, Y=Y, Z=Z)
+    _save_fast_sidecar(path, np.stack([X, Y, Z]), _file_digest(path))
 
 
 def point_vec_len(path: str) -> int:
@@ -217,17 +289,23 @@ def read_point_vec_planes(path: str) -> np.ndarray:
     would otherwise dominate the host-side cost."""
     pp = path + ".planes.npz"
     if os.path.exists(pp):
-        return np.load(pp)["P"]
+        z = np.load(pp)
+        if _sidecar_fresh(path, z):
+            return z["P"]
+        # stale/legacy sidecar: re-derive from verified data below
     from dvpari_tpu.ops import xsk233_bs as bs
 
     fast = path + ".fast.npz"
     if os.path.exists(fast):
         z = np.load(fast)
-        pts = np.stack([z["X"], z["Y"], z["Z"]], axis=0)
+        if _sidecar_fresh(path, z):
+            pts = np.stack([z["X"], z["Y"], z["Z"]], axis=0)
+        else:
+            pts = np.asarray(jax.device_get(read_point_vec(path)))
     else:
         pts = np.asarray(jax.device_get(read_point_vec(path)))
     planes = bs.pack_points(pts)
-    np.savez(pp, P=planes)
+    _save_planes_sidecar(path, planes, _file_digest(path))
     return planes
 
 
@@ -270,7 +348,9 @@ def read_point_vec(path: str, validate: bool = False) -> jnp.ndarray:
     fast = path + ".fast.npz"
     if os.path.exists(fast) and not validate:
         z = np.load(fast)
-        return jnp.asarray(np.stack([z["X"], z["Y"], z["Z"]], axis=0))
+        if _sidecar_fresh(path, z):
+            return jnp.asarray(np.stack([z["X"], z["Y"], z["Z"]], axis=0))
+        # stale/legacy sidecar: fall through to record decode, then heal it
     with open(path, "rb") as f:
         data = f.read()
     (n,) = struct.unpack_from("<Q", data, 0)
@@ -286,6 +366,8 @@ def read_point_vec(path: str, validate: bool = False) -> jnp.ndarray:
                 payload[s * PT_RECORD : e * PT_RECORD]
             )  # raises on invalid records
             out[..., s:e] = _words64_to_proj(xy, inf)
+        if not validate:  # heal the sidecar from the verified decode
+            _save_fast_sidecar(path, out, _file_digest(path))
         return jnp.asarray(out)
 
     from dvpari_tpu.utils import xsk233_host as host

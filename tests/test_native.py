@@ -82,6 +82,49 @@ def test_point_vec_artifact_roundtrip(tmp_path):
     assert xsk233.to_affine_int(back2) == pts
 
 
+def test_sidecar_integrity_recovers(tmp_path):
+    """A corrupt/stale sidecar must be detected via the SRC digest and
+    re-derived from the 30-byte records (reference validates every point
+    on read, src/io_utils.rs:217-226; sidecars are derived caches)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    from dvpari_tpu.ops import xsk233
+    from dvpari_tpu.storage import artifacts as art
+
+    rng = random.Random(21)
+    pts = [host.smul(rng.randrange(1, host.R), (host.GX, host.GY)) for _ in range(5)]
+    batch = xsk233.from_affine_int(pts)
+    path = str(tmp_path / "g_bad")
+    art.write_point_vec(path, batch)
+
+    # corrupt the fast sidecar payload in place (SELF digest catches it)
+    z = dict(np.load(path + ".fast.npz"))
+    z["X"] = z["X"] ^ np.uint32(0xDEAD)
+    np.savez(path + ".fast.npz", **z)
+    back = art.read_point_vec(path)
+    assert xsk233.to_affine_int(back) == pts  # healed from records
+    healed = np.load(path + ".fast.npz")
+    assert art._sidecar_fresh(path, healed)
+
+    # a sidecar whose digest doesn't match the record file is also stale
+    z2 = dict(np.load(path + ".fast.npz"))
+    z2["SRC"] = z2["SRC"] ^ np.uint8(1)
+    np.savez(path + ".fast.npz", **z2)
+    assert not art._sidecar_fresh(path, np.load(path + ".fast.npz"))
+    back2 = art.read_point_vec(path)
+    assert xsk233.to_affine_int(back2) == pts
+
+    # legacy sidecar (no SRC key): treated as stale, re-derived
+    z3 = dict(np.load(path + ".fast.npz"))
+    z3.pop("SRC")
+    np.savez(path + ".fast.npz", **z3)
+    back3 = art.read_point_vec(path)
+    assert xsk233.to_affine_int(back3) == pts
+    assert art._sidecar_fresh(path, np.load(path + ".fast.npz"))
+
+
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
 def test_zpoly_native_vs_ctypes_tree():
     """The native OpenMP Kronecker product tree (zpoly_native.cpp) must
