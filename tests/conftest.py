@@ -29,23 +29,37 @@ jax.config.update("jax_platforms", "cpu")
 #
 # Poisoned-entry remedy: some XLA:CPU AOT entries SIGSEGV the process on
 # reload (get_executable_and_time) -- if a suite run dies that way, the
-# fix is `rm -rf .jax_cache/cpu`.  Automated below via a crash sentinel:
-# the sentinel file exists for the duration of a suite run and is removed
-# on clean session finish (see pytest_sessionfinish); finding it at start
-# means the previous run died mid-suite, so the cache is wiped before it
-# can kill this run at the same compile.
+# fix is `rm -rf .jax_cache/cpu`.  Automated below via a crash sentinel
+# that counts CONSECUTIVE crashed runs: the sentinel exists for the
+# duration of a suite run and is removed on clean session finish (see
+# pytest_sessionfinish).  One crash retries with the cache intact (most
+# deaths are transient: timeout-kill races, host OOM pressure); a second
+# consecutive crash is taken as a poisoned entry and wipes the cache.
+# Wiping on the FIRST crash made every transient death cascade into a
+# ~50-min cold recompile of the next run.
 _CPU_CACHE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".jax_cache", "cpu",
 )
 _CRASH_SENTINEL = os.path.join(_CPU_CACHE_DIR, ".suite_running")
+_prior_crashes = 0
 if os.path.exists(_CRASH_SENTINEL):
-    import shutil
+    try:
+        with open(_CRASH_SENTINEL) as _f:
+            _prior_crashes = int(_f.read().split()[0])
+    except (ValueError, IndexError, OSError):
+        _prior_crashes = 1
+    if _prior_crashes >= 2:
+        import shutil
 
-    shutil.rmtree(_CPU_CACHE_DIR, ignore_errors=True)
+        shutil.rmtree(_CPU_CACHE_DIR, ignore_errors=True)
+        _prior_crashes = 0
 os.makedirs(_CPU_CACHE_DIR, exist_ok=True)
 with open(_CRASH_SENTINEL, "w") as _f:
-    _f.write("removed by pytest_sessionfinish on clean exit\n")
+    _f.write(
+        f"{_prior_crashes + 1} consecutive crashes if still present; "
+        "removed by pytest_sessionfinish on clean exit\n"
+    )
 
 jax.config.update("jax_compilation_cache_dir", _CPU_CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -83,6 +97,30 @@ def pytest_sessionfinish(session, exitstatus):
         os.remove(_CRASH_SENTINEL)
     except OSError:
         pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute test (XLA:CPU compiles); default tier skips "
+        "these, full CI mode runs them with DVPARI_SLOW_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (the reference's one-command `cargo test` takes
+    minutes; here XLA:CPU compiles of the big crypto graphs push a cold
+    full run to ~50 min).  Default tier: <5 min warm, covers every
+    subsystem.  Slow tier: interpret-mode Pallas kernels, the toy e2e,
+    at-scale kronecker -- run with DVPARI_SLOW_TESTS=1."""
+    if os.environ.get("DVPARI_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set DVPARI_SLOW_TESTS=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

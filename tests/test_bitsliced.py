@@ -226,6 +226,7 @@ def test_msm_vs_wordsliced(n):
         assert (gh.mul_int(x, zi), gh.mul_int(y, zi)) == expect
 
 
+@pytest.mark.slow
 def test_pallas_msm_interpret_vs_host():
     """The PRODUCTION Pallas ladder kernel (ops/pallas_msm.py) run in
     pallas interpret mode on CPU vs the host oracle: pins the kernel's
@@ -233,8 +234,8 @@ def test_pallas_msm_interpret_vs_host():
     toggles) in CI without TPU hardware.  c_tile=2 keeps the interpreted
     tile small; on hardware the tile is 128 (last block dim rule).
     ~3 min (interpret-mode cost of 62 windows x 233-pass multiplies) --
-    kept in the DEFAULT suite so every run exercises the production
-    kernel's code path, not just its traced jnp twin (VERDICT r2 item 7)."""
+    slow tier; full CI mode (DVPARI_SLOW_TESTS=1) exercises the
+    production kernel's code path, not just its traced jnp twin."""
     import jax
 
     from dvpari_tpu.ops import pallas_msm

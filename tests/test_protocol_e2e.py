@@ -16,6 +16,11 @@ from dvpari_tpu.protocol.proof import Proof
 from dvpari_tpu.protocol.transcript import Transcript
 from dvpari_tpu.storage import artifacts as art
 
+# ~5-6 min of XLA:CPU compiles for the full toy pipeline: slow tier.
+# The default tier still proves/verifies end-to-end at m=8 via
+# test_sharded_prove / test_sharded_scale's toy-size variant.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def e2e():

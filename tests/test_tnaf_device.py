@@ -129,6 +129,7 @@ def test_msm_chunked_device_recode_vs_host_oracle(monkeypatch):
     assert (gh.mul_int(X, zi), gh.mul_int(Y, zi)) == expect
 
 
+@pytest.mark.slow
 def test_msm_interpret_matches_host_oracle(no_persistent_compile_cache):
     """Fused ladder (interpret mode) on device-recoded masks == host smul."""
     from dvpari_tpu.ops import pallas_msm, xsk233
