@@ -176,9 +176,13 @@ def verifier_runs_setup(
                 z = pre.compute_vanishing_polynomial(tree2)
                 art.write_fr_vec(zpath, z)
         if validate_precompute:
-            evs = pre.evaluate_vanishing_poly_at_domain(z, tree2, 1)
-            from dvpari_tpu.protocol.prover import _jit_all_zero
-            assert bool(_jit_all_zero(evs)), "vanishing poly invalid"
+            # first use of the tree's enter/exit level programs: on a cold
+            # compile cache this phase carries their XLA compiles (the m16
+            # run spent ~1h40m here untimed -- keep it attributed)
+            with phase("setup.validate_z", tree=tree_name):
+                evs = pre.evaluate_vanishing_poly_at_domain(z, tree2, 1)
+                from dvpari_tpu.protocol.prover import _jit_all_zero
+                assert bool(_jit_all_zero(evs)), "vanishing poly invalid"
         bpath = os.path.join(cache_dir, bf)
         with phase("setup.barycentric", artifact=bf):
             if os.path.exists(bpath):
