@@ -51,7 +51,19 @@ def _iso_map(xs, x0, t):
 
 
 _layer0_jits: dict = {}
+_layer0_chunk_jit = None
 _iso_jit = None
+
+# Fixed ladder-table length for the size-independent chunked program:
+# steps j >= log2(n) have index bit 0 for every lane (idx < n), so their
+# adds are masked no-ops and a table padded past log_n changes nothing.
+_LADDER_STEPS = aux_curve.SUBGROUP_ADICITY
+
+
+def _layer0_chunk_width() -> int:
+    import os
+
+    return int(os.environ.get("DVPARI_LAYER0_CHUNK", str(1 << 16)))
 
 
 def _cpu_device():
@@ -61,45 +73,71 @@ def _cpu_device():
         return None
 
 
+def _make_layer0(width: int, log_n: int, chunked: bool):
+    """Ladder program over `width` lanes.  chunked=True takes the lane
+    offset as an ARGUMENT and always runs _LADDER_STEPS masked steps, so
+    ONE compiled program serves every chunk of every domain size -- the
+    per-size monolithic variant hung the tunneled remote compiler for
+    45+ min at 2^19 lanes (JOURNAL r3/r4), exactly like the MSM's
+    per-offset eager slices before chunk offsets became arguments."""
+    steps = _LADDER_STEPS if chunked else log_n
+
+    @jax.jit
+    def layer0(tab, cos, offset):
+        X = jnp.broadcast_to(cos[0][:, None], (fr.NLIMB, width))
+        Y = jnp.broadcast_to(cos[1][:, None], (fr.NLIMB, width))
+        idx = offset + jnp.arange(width, dtype=jnp.int32)
+
+        def body(j, carry):
+            X, Y = carry
+            g = jax.lax.dynamic_index_in_dim(tab, j, keepdims=False)
+            gx = jnp.broadcast_to(g[0][:, None], (fr.NLIMB, width))
+            gy = jnp.broadcast_to(g[1][:, None], (fr.NLIMB, width))
+            x3, y3 = _affine_add(X, Y, gx, gy)
+            mask = ((idx >> j) & 1) == 1
+            return fr.select(mask, x3, X), fr.select(mask, y3, Y)
+
+        X, _ = jax.lax.fori_loop(0, steps, body, (X, Y))
+        return X
+
+    return layer0
+
+
 def build_layers_device(meta: aux_curve.ChainMeta, domain_len: int):
     """Returns the list of per-layer x-coordinate arrays (int32[20, n_l])."""
-    global _iso_jit
+    global _iso_jit, _layer0_chunk_jit
     log_n = domain_len.bit_length() - 1
-    # stacked generator-double table: (log_n, 2, 20) limbs
+    ck = _layer0_chunk_width()
+    chunked = domain_len > ck
+    # stacked generator-double table, padded to the fixed program length
+    # on the chunked path (pad entries are masked off for every lane)
+    doubles = list(meta.gen_doubles)
+    if chunked:
+        doubles += [doubles[0]] * (_LADDER_STEPS - len(doubles))
     gen_tab = np.stack(
         [
             np.stack([fr.from_int(g[0]), fr.from_int(g[1])], axis=0)
-            for g in meta.gen_doubles
+            for g in doubles
         ],
         axis=0,
-    ) if log_n else np.zeros((0, 2, fr.NLIMB), np.int32)
+    ) if doubles else np.zeros((0, 2, fr.NLIMB), np.int32)
     coset = np.stack(
         [fr.from_int(meta.coset[0]), fr.from_int(meta.coset[1])], axis=0
     )
 
-    if domain_len not in _layer0_jits:
-
-        @jax.jit
-        def layer0(tab, cos):
-            X = jnp.broadcast_to(cos[0][:, None], (fr.NLIMB, domain_len))
-            Y = jnp.broadcast_to(cos[1][:, None], (fr.NLIMB, domain_len))
-            idx = jnp.arange(domain_len, dtype=jnp.int32)
-
-            def body(j, carry):
-                X, Y = carry
-                g = jax.lax.dynamic_index_in_dim(tab, j, keepdims=False)
-                gx = jnp.broadcast_to(g[0][:, None], (fr.NLIMB, domain_len))
-                gy = jnp.broadcast_to(g[1][:, None], (fr.NLIMB, domain_len))
-                x3, y3 = _affine_add(X, Y, gx, gy)
-                mask = ((idx >> j) & 1) == 1
-                return fr.select(mask, x3, X), fr.select(mask, y3, Y)
-
-            X, _ = jax.lax.fori_loop(0, log_n, body, (X, Y))
-            return X
-
-        _layer0_jits[domain_len] = layer0
-
-    layers = [_layer0_jits[domain_len](jnp.asarray(gen_tab), jnp.asarray(coset))]
+    tab_dev, cos_dev = jnp.asarray(gen_tab), jnp.asarray(coset)
+    if chunked:
+        if _layer0_chunk_jit is None:
+            _layer0_chunk_jit = _make_layer0(ck, log_n, True)
+        parts = [
+            _layer0_chunk_jit(tab_dev, cos_dev, jnp.int32(off))
+            for off in range(0, domain_len, ck)
+        ]
+        layers = [jnp.concatenate(parts, axis=1)]
+    else:
+        if domain_len not in _layer0_jits:
+            _layer0_jits[domain_len] = _make_layer0(domain_len, log_n, False)
+        layers = [_layer0_jits[domain_len](tab_dev, cos_dev, jnp.int32(0))]
 
     if _iso_jit is None:
         _iso_jit = jax.jit(_iso_map)

@@ -26,7 +26,7 @@ def _jit_horner_step(tail, leaves, z0):
 
 @jax.jit
 def _jit_lagrange_at_tau(z_coeffs, tau, bar_wts, leaves):
-    z_tau = fr.horner_eval(z_coeffs, tau)
+    z_tau = fr.poly_eval(z_coeffs, tau)
     diff_inv = fr.batch_inverse(
         fr.sub(fr.broadcast_scalar(tau, leaves.shape[1:]), leaves), axis=0
     )
@@ -38,8 +38,8 @@ def _jit_lagrange_at_tau(z_coeffs, tau, bar_wts, leaves):
 @jax.jit
 def _jit_lagrange_unified(tau, l_tau, l_taud, z_poly, z_polyd, z2inv, z2dinv):
     m = l_tau.shape[-1]
-    z_tau = fr.horner_eval(z_poly, tau)  # Z_D(tau)
-    zd_tau = fr.horner_eval(z_polyd, tau)  # Z_D'(tau)
+    z_tau = fr.poly_eval(z_poly, tau)  # Z_D(tau)
+    zd_tau = fr.poly_eval(z_polyd, tau)  # Z_D'(tau)
     even = fr.mul(fr.mul(l_tau, fr.broadcast_scalar(zd_tau, (m,))), z2dinv)
     odd = fr.mul(fr.mul(l_taud, fr.broadcast_scalar(z_tau, (m,))), z2inv)
     out = jnp.stack([even, odd], axis=-1)  # (20, m, 2)
@@ -48,12 +48,32 @@ def _jit_lagrange_unified(tau, l_tau, l_taud, z_poly, z_polyd, z2inv, z2dinv):
 
 @jax.jit
 def _jit_barycentric_eval(domain, bar_wts, z_coeffs, p_evals, alpha):
-    z_alpha = fr.horner_eval(z_coeffs, alpha)
+    z_alpha = fr.poly_eval(z_coeffs, alpha)
     diff_inv = fr.batch_inverse(
         fr.sub(fr.broadcast_scalar(alpha, domain.shape[1:]), domain), axis=0
     )
     inner = fr.sum_along(fr.mul(fr.mul(p_evals, bar_wts), diff_inv), axis=0)
     return fr.mul(z_alpha, inner)
+
+
+@jax.jit
+def _jit_barycentric_eval3(domain, bar_wts, z_coeffs, pa, pb, pc, alpha):
+    """Three barycentric evaluations at one alpha, sharing the Z(alpha)
+    polynomial evaluation and the (alpha - d_i) batch inversion (the
+    prover evaluates a, b, i at the same challenge,
+    reference: src/proving.rs:561-594).  Also returns diff_inv =
+    1/(alpha - d_i) so the k-scalar stage reuses it as
+    1/(d_i - alpha) = -diff_inv instead of re-inverting."""
+    z_alpha = fr.poly_eval(z_coeffs, alpha)
+    diff_inv = fr.batch_inverse(
+        fr.sub(fr.broadcast_scalar(alpha, domain.shape[1:]), domain), axis=0
+    )
+    wd = fr.mul(bar_wts, diff_inv)
+    outs = tuple(
+        fr.mul(z_alpha, fr.sum_along(fr.mul(p, wd), axis=0))
+        for p in (pa, pb, pc)
+    )
+    return outs + (diff_inv,)
 
 
 
@@ -137,3 +157,9 @@ def barycentric_eval_at_alpha(
     (reference: evaluate_poly_at_alpha_using_barycentric_weights,
     src/ec_fft.rs:455-491)."""
     return _jit_barycentric_eval(domain, bar_wts, z_coeffs, p_evals, alpha)
+
+
+def barycentric_eval3_at_alpha(domain, bar_wts, z_coeffs, pa, pb, pc, alpha):
+    """(a0, b0, i0, diff_inv): fused three-poly barycentric evaluation;
+    diff_inv = 1/(alpha - d_i) for downstream reuse."""
+    return _jit_barycentric_eval3(domain, bar_wts, z_coeffs, pa, pb, pc, alpha)

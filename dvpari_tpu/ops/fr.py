@@ -405,6 +405,20 @@ def horner_eval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def poly_eval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """sum_i coeffs[:, i] x^i, log-depth: powers scan + wide dot.
+
+    horner_eval is a length-n sequential lax.scan of scalar muls --
+    latency-bound at ~us/step, i.e. seconds at n = 2^20 (the m=2^16
+    scale run spent ~6 s of its 12.4 s warm prove in three such scans).
+    The powers+sum form does the same O(n) multiplies in ~2 log n
+    full-width passes."""
+    n = coeffs.shape[-1]
+    if n <= 64:
+        return horner_eval(coeffs, x)
+    return sum_along(mul(coeffs, powers(x, n)), axis=0)
+
+
 def powers(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """[1, x, x^2, ..., x^(n-1)] as int32[20, n] via a log-depth scan."""
     x = jnp.asarray(x, dtype=jnp.int32)

@@ -230,7 +230,15 @@ def _tnaf_scan(c: jnp.ndarray, d: jnp.ndarray):
     parity and mod-4 reads are exact on lazy limbs (2^24 == 0 mod 4),
     halving is exact limb-wise, and a single vectorized carry extraction
     per step replaces three sequential normalize passes (~2x fewer ops,
-    and (RL, N)-shaped tensor ops instead of per-limb (N,) chains)."""
+    and (RL, N)-shaped tensor ops instead of per-limb (N,) chains).
+
+    d needs NO carry extraction at all: new_d = -h where h = half of the
+    (renormalized, then u-adjusted) c, so h's limbs sit in (-2, 2^24+2)
+    by construction -- bounded without growth across steps.  c's single
+    extraction per step then sees d - h in (-2^25-4, 2^24+4), within the
+    +-2^30 renorm input budget.  The scan is latency-bound (each step is
+    a handful of small VPU ops), so `unroll` trades a longer program for
+    fewer loop-carry round trips."""
 
     def step(carry, _):
         c, d = carry
@@ -239,10 +247,12 @@ def _tnaf_scan(c: jnp.ndarray, d: jnp.ndarray):
         )
         h = _half_lazy(c.at[0].add(-u))  # (c - u) even -> exact
         new_c = _renorm_lazy(d - h)
-        new_d = _renorm_lazy(-h)
+        new_d = -h  # bounded by construction; see docstring
         return (new_c, new_d), u
 
-    (c_end, d_end), digits = lax.scan(step, (c, d), None, length=TNAF_LEN)
+    (c_end, d_end), digits = lax.scan(
+        step, (c, d), None, length=TNAF_LEN, unroll=8
+    )
     c_end = _norm24(c_end)  # one full normalization for the zero check
     d_end = _norm24(d_end)
     ok = jnp.all(c_end == 0, axis=0) & jnp.all(d_end == 0, axis=0)

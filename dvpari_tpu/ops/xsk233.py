@@ -387,6 +387,19 @@ def _msm_chunk_cols() -> int:
     return int(os.environ.get("DVPARI_MSM_CHUNK_COLS", "512"))
 
 
+def _recode_cols() -> int:
+    """Columns per on-device recode batch (32 points each).  The 248-step
+    tau-NAF scan is latency-bound at ladder-chunk width (each step is ~15
+    small VPU ops whose dispatch overhead dominates below ~1 MB
+    operands), so recoding runs in batches much wider than the ladder
+    chunk and the resulting masks are dynamic-sliced per ladder call.
+    Masks cost 45 B/pt of HBM per batch -- 4096 cols = 131k points =
+    ~12 MB, negligible."""
+    import os
+
+    return int(os.environ.get("DVPARI_RECODE_COLS", "4096"))
+
+
 def _recode_impl() -> str:
     """"device" (default): tau-NAF recoding runs on-chip as a jitted XLA
     program (ops/tnaf_device.py) -- the MSM never touches the host.
@@ -407,18 +420,31 @@ _ladder_chunk_jits: dict = {}
 
 
 def _msm_device_recoded(canon_dev, planes, on_device, C, ck):
-    """Fully device-resident chunked MSM: per chunk, dynamic-slice the
-    canonical scalars, recode to digit masks on-chip, run the fused
-    Pallas ladder; fold partials on-chip.  Returns (result planes,
-    recode self-check bools to assert after the final fetch)."""
+    """Fully device-resident chunked MSM: recode the canonical scalars
+    to digit masks on-chip in WIDE batches (the tau-NAF scan is
+    latency-bound at ladder width, see _recode_cols), then dynamic-slice
+    the batch masks per ladder chunk and run the fused Pallas ladder;
+    fold partials on-chip.  Returns (result planes, recode self-check
+    bools to assert after the final fetch).
+
+    Exactly one compiled recode program (width rck) and one ladder
+    program (width ck) serve every chunk: all offsets are dynamic_slice
+    ARGUMENTS.  The canonical scalars are zero-padded up to a whole
+    number of recode batches (zero scalars recode to infinity); the
+    ladder loop still clips to the real column count, so the recode
+    tail waste is bounded by one batch of scan time and never costs
+    ladder time."""
     from dvpari_tpu.ops import pallas_msm
     from dvpari_tpu.ops import tnaf_device as tdev
     from dvpari_tpu.ops import xsk233_bs as bs
 
-    Cp = -(-C // ck) * ck  # pad to whole chunks: one program for all
-    if canon_dev.shape[-1] != 32 * Cp:  # zero scalars recode to infinity
+    Cp = -(-C // ck) * ck  # pad to whole ladder chunks
+    rck = max(_recode_cols() // ck, 1) * ck  # recode batch width
+    rck = min(rck, Cp)  # never wider than the chunk-padded MSM
+    Cpr = -(-Cp // rck) * rck  # recode-batch padding (canon only)
+    if canon_dev.shape[-1] != 32 * Cpr:  # zero scalars recode to infinity
         canon_dev = jnp.pad(
-            canon_dev, ((0, 0), (0, 32 * Cp - canon_dev.shape[-1]))
+            canon_dev, ((0, 0), (0, 32 * Cpr - canon_dev.shape[-1]))
         )
     if Cp != C:  # zero planes are infinity points under the complete add
         planes = (
@@ -429,28 +455,31 @@ def _msm_device_recoded(canon_dev, planes, on_device, C, ck):
     if not on_device:
         planes = jnp.asarray(planes)  # single upload; sliced on device
 
-    rk = (canon_dev.shape, ck)
+    rk = (canon_dev.shape, rck)
     if rk not in _recode_chunk_jits:
         _recode_chunk_jits[rk] = jax.jit(
             lambda canon, i: tdev.recode_masks(
-                jax.lax.dynamic_slice_in_dim(canon, i, 32 * ck, axis=1)
+                jax.lax.dynamic_slice_in_dim(canon, i, 32 * rck, axis=1)
             )
         )
-    lk = (planes.shape, ck)
+    lk = (planes.shape, rck, ck)
     if lk not in _ladder_chunk_jits:
         _ladder_chunk_jits[lk] = jax.jit(
-            lambda oh, ng, pl, c0: pallas_msm.msm_packed(
-                oh, ng, jax.lax.dynamic_slice_in_dim(pl, c0, ck, axis=2)
+            lambda oh, ng, pl, m0, c0: pallas_msm.msm_packed(
+                jax.lax.dynamic_slice_in_dim(oh, m0, ck, axis=2),
+                jax.lax.dynamic_slice_in_dim(ng, m0, ck, axis=1),
+                jax.lax.dynamic_slice_in_dim(pl, c0, ck, axis=2),
             )
         )
     recode_fn = _recode_chunk_jits[rk]
     ladder_fn = _ladder_chunk_jits[lk]
 
     partials, oks = [], []
-    for c0 in range(0, Cp, ck):
-        oh, ng, ok = recode_fn(canon_dev, 32 * c0)
-        partials.append(ladder_fn(oh, ng, planes, c0))
+    for r0 in range(0, Cp, rck):
+        oh, ng, ok = recode_fn(canon_dev, 32 * r0)
         oks.append(ok)
+        for c0 in range(r0, min(r0 + rck, Cp), ck):
+            partials.append(ladder_fn(oh, ng, planes, c0 - r0, c0))
     if len(partials) == 1:
         return partials[0], oks
     return bs.fold_cols(jnp.stack(partials, axis=-1)), oks

@@ -177,6 +177,13 @@ def _msm_bs_sharded_canon_fn(mesh, ck: int, nchunks: int):
             return pallas_msm.msm_packed(oh, ng, pl)
         return bs._msm_core(oh, ng, pl)
 
+    # recode in wide batches (the tau-NAF scan is latency-bound at
+    # ladder-chunk width; see ops/xsk233.py:_recode_cols), then ladder
+    # ck columns at a time off the batch masks -- all inside one traced
+    # program per shard
+    rck = max(xsk233._recode_cols() // ck, 1) * ck
+    rck = min(rck, nchunks * ck)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -186,14 +193,21 @@ def _msm_bs_sharded_canon_fn(mesh, ck: int, nchunks: int):
     )
     def local(cn, pl):
         partials, oks = [], []
-        for c in range(nchunks):
+        total = nchunks * ck
+        for r in range(0, total, rck):
+            w = min(rck, total - r)
             oh, ng, ok = tdev.recode_masks(
-                jax.lax.dynamic_slice_in_dim(cn, 32 * ck * c, 32 * ck, axis=1)
-            )
-            partials.append(
-                ladder(oh, ng, jax.lax.dynamic_slice_in_dim(pl, ck * c, ck, axis=2))
+                jax.lax.dynamic_slice_in_dim(cn, 32 * r, 32 * w, axis=1)
             )
             oks.append(ok)
+            for c0 in range(r, r + w, ck):
+                partials.append(
+                    ladder(
+                        jax.lax.dynamic_slice_in_dim(oh, c0 - r, ck, axis=2),
+                        jax.lax.dynamic_slice_in_dim(ng, c0 - r, ck, axis=1),
+                        jax.lax.dynamic_slice_in_dim(pl, c0, ck, axis=2),
+                    )
+                )
         if len(partials) == 1:
             res = partials[0]
         else:

@@ -27,7 +27,7 @@ from dvpari_tpu.protocol.transcript import Transcript
 from dvpari_tpu.protocol.proof import Proof
 from dvpari_tpu.protocol.srs import _load_or_build_tree
 from dvpari_tpu.utils import xsk233_host as host
-from dvpari_tpu.utils.timing import phase
+from dvpari_tpu.utils.timing import phase, fence
 
 
 def prover_prepares_precomputes(cache_dir: str, validate_precompute: bool = True):
@@ -103,11 +103,13 @@ def _jit_quotient(a2, b2, i2, c2, z2inv):
 
 
 @jax.jit
-def _jit_k_scalars(dom, dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev):
-    m = dom.shape[-1]
+def _jit_k_scalars(dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev, diff_inv):
+    m = dom2.shape[-1]
     r0 = fr.sub(fr.mul(a0, b0), i0)
     bc = lambda v: fr.broadcast_scalar(v, (m,))
-    denom_inv = fr.batch_inverse(fr.sub(dom, bc(alpha_dev)), axis=0)
+    # 1/(d_i - alpha) = -1/(alpha - d_i): reuse the barycentric stage's
+    # batch inversion over D instead of re-inverting
+    denom_inv = fr.neg(diff_inv)
     denom_inv2 = fr.batch_inverse(fr.sub(dom2, bc(alpha_dev)), axis=0)
     k_a = fr.mul(fr.sub(a_vals, bc(a0)), denom_inv)
     k_b = fr.mul(fr.sub(b_vals, bc(b0)), denom_inv)
@@ -175,6 +177,7 @@ def prove(
         b_vals = gnark.eval_matrix(inst.r, coeffs_dev, w_dev)
         c_vals = gnark.eval_matrix(inst.o, coeffs_dev, w_dev)
         i_vals = _monomial_evals_over_domain(public_inputs, dom)
+        fence(a_vals, b_vals, c_vals, i_vals)
 
     if mesh is not None and m % mesh.devices.size == 0:
         # domain-shard the evaluation vectors: every downstream stage
@@ -204,6 +207,7 @@ def prove(
             planes=lambda: art.read_point_vec_planes_device(gm_path)
             if mesh is None else art.read_point_vec_planes(gm_path),
         )
+        fence(msm_gm)
         del w_dev
 
     transcript = Transcript()
@@ -215,6 +219,7 @@ def prove(
         b2 = tree2n.extend(b_vals, "S1", 0)
         c2 = tree2n.extend(c_vals, "S1", 0)
         i2 = tree2n.extend(i_vals, "S1", 0)
+        fence(a2, b2, c2, i2)
     # c is dead past its extend; at 2^23 every (20, m) vector is ~640 MB
     # of HBM, so drop references as the reference frees mid-pipeline
     # (clear_fftree discipline, src/srs.rs:86-101)
@@ -223,6 +228,7 @@ def prove(
     with phase("prove.quotient"):
         z2inv = art.read_fr_vec(os.path.join(cache_dir, art.Z_VALS2_INV))
         r2, q2 = _jit_quotient(a2, b2, i2, c2, z2inv)
+        fence(r2, q2)
         del a2, b2, c2, i2, z2inv
 
     with phase("prove.msm_gq", n=m):
@@ -233,6 +239,7 @@ def prove(
             planes=lambda: art.read_point_vec_planes_device(gq_path)
             if mesh is None else art.read_point_vec_planes(gq_path),
         )
+        fence(msm_q)
         del q2
 
     commit_p = _jit_point_add(msm_q, msm_gm)
@@ -251,14 +258,16 @@ def prove(
 
     with phase("prove.evaluate_at_alpha"):
         bar_wts = art.read_fr_vec(os.path.join(cache_dir, art.BAR_WTS))
-        a0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, a_vals, alpha_dev)
-        b0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, b_vals, alpha_dev)
-        i0 = pre.barycentric_eval_at_alpha(dom, bar_wts, z_poly, i_vals, alpha_dev)
+        a0, b0, i0, diff_inv = pre.barycentric_eval3_at_alpha(
+            dom, bar_wts, z_poly, a_vals, b_vals, i_vals, alpha_dev
+        )
+        fence(a0, b0, i0)
 
     with phase("prove.k_scalars"):
         s_k_all = _jit_k_scalars(
-            dom, dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev
+            dom2, a_vals, b_vals, i_vals, r2, a0, b0, i0, alpha_dev, diff_inv
         )
+        fence(s_k_all)
         del a_vals, b_vals, i_vals, r2
 
     with phase("prove.msm_gk", n=4 * m):

@@ -29,6 +29,27 @@ def phase(name: str, **attrs):
             print(f"[dvpari] {name}: {dt:.3f}s {attrs}", file=sys.stderr)
 
 
+def fence(*arrays) -> None:
+    """Profiling fence: fetch one element of each array to host, forcing
+    the device queue to drain through the ops that produced it.  On the
+    tunneled axon backend block_until_ready returns at enqueue, so a
+    device->host fetch is the only honest sync (JOURNAL.md round-1).
+
+    Only active under DVPARI_SYNC_PHASES=1 -- the default pipeline keeps
+    phases async (dispatch-and-continue), which is faster end-to-end but
+    attributes a phase's device time to whichever later phase fetches
+    first.  Enable for per-phase attribution runs."""
+    if not os.environ.get("DVPARI_SYNC_PHASES"):
+        return
+    import jax
+
+    for a in arrays:
+        if a is None:
+            continue
+        flat = a.reshape(-1) if hasattr(a, "reshape") else a
+        jax.device_get(flat[:1])
+
+
 def reset():
     EVENTS.clear()
 

@@ -194,3 +194,54 @@ def test_device_z_coeffs_vs_host():
     leaves = tree.leaves(1)  # 512 points
     got = fr.to_int(jax.jit(vanishing_poly_coeffs)(leaves))
     assert got == _host_vanishing_coeffs(fr.to_int(leaves))
+
+
+def test_poly_eval_matches_horner_large():
+    # fr.poly_eval switches to the log-depth powers+dot form above n=64;
+    # exercise both sides of the threshold against the python oracle
+    rng = random.Random(31)
+    x = rng.randrange(P)
+    xd = jnp.asarray(fr.from_int(x))
+    for n in (17, 64, 65, 200):
+        cs = [rng.randrange(P) for _ in range(n)]
+        got = fr.to_int(fr.poly_eval(jnp.asarray(fr.from_int(cs)), xd))
+        assert got == horner(cs, x), n
+
+
+def test_barycentric_eval3_matches_single(tree, doms):
+    # the fused three-poly eval (shared Z(alpha) + shared batch
+    # inversion) must agree with three independent barycentric evals,
+    # and its diff_inv output must be 1/(alpha - d_i)
+    from dvpari_tpu.fftree import precompute as pre
+
+    _, D, _ = doms
+    rng = random.Random(32)
+    z = tree.z_coeffs(1)
+    bw = pre.compute_barycentric_weights(tree, z, 1)
+    dom = tree.leaves(1)
+    alpha = rng.randrange(P)
+    ad = jnp.asarray(fr.from_int(alpha))
+    polys = [[rng.randrange(P) for _ in range(N)] for _ in range(3)]
+    devs = [jnp.asarray(fr.from_int(p)) for p in polys]
+    a0, b0, i0, dinv = pre.barycentric_eval3_at_alpha(
+        dom, bw, z, devs[0], devs[1], devs[2], ad
+    )
+    for got, p in zip((a0, b0, i0), devs):
+        want = pre.barycentric_eval_at_alpha(dom, bw, z, p, ad)
+        assert fr.to_int(got) == fr.to_int(want)
+    assert fr.to_int(dinv) == [pow(alpha - d, P - 2, P) for d in D]
+
+
+def test_device_build_chunked_layer0_matches_host(monkeypatch):
+    # the size-independent chunked layer-0 ladder (offset-as-argument,
+    # fixed _LADDER_STEPS masked steps) must build the same tree as the
+    # host path; shrink the chunk width so a 32-leaf build exercises
+    # multiple chunks and the masked pad steps
+    from dvpari_tpu.fftree import device_build as db
+
+    monkeypatch.setenv("DVPARI_LAYER0_CHUNK", "8")
+    monkeypatch.setattr(db, "_layer0_chunk_jit", None)
+    th = FFTree.build(2 * N, False, 4, device=False)
+    td = FFTree.build(2 * N, False, 4, device=True)
+    for lh, ld in zip(th.layers, td.layers):
+        assert fr.to_int(lh) == fr.to_int(ld)
