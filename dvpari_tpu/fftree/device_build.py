@@ -32,13 +32,31 @@ from dvpari_tpu.ops import fr
 from dvpari_tpu.fftree import aux_curve
 
 
-def _affine_add(X, Y, gx, gy):
-    """(X, Y) batch + broadcast point (gx, gy), affine SW addition."""
-    dx_inv = fr.batch_inverse(fr.sub(gx, X), axis=0)
-    lam = fr.mul(fr.sub(gy, Y), dx_inv)
-    x3 = fr.sub(fr.sub(fr.square(lam), X), gx)
-    y3 = fr.sub(fr.mul(lam, fr.sub(X, x3)), Y)
-    return x3, y3
+def _jacobian_madd(X, Y, Z, gx, gy):
+    """Jacobian accumulator (X, Y, Z) + affine point (gx, gy), mixed
+    addition (madd-2007-bl, 7M+4S, no inversion).  Complete here: the
+    accumulator lives in the coset C + <G>, the added point in <G>, and
+    the coset is chosen disjoint (reference: src/ec_fft.rs:222-228), so
+    H = 0 (equal x) and Z = 0 (infinity) cannot occur.  Keeping the
+    ladder inversion-free is what makes the program compile: the earlier
+    affine variant ran a Montgomery-trick batch inversion (two
+    width-2^16 associative scans + a Fermat chain) inside EVERY masked
+    step, and its 28-step loop stalled the tunneled remote compiler
+    >27 min at 2^19 lanes (2026-08-20)."""
+    z1z1 = fr.square(Z)
+    u2 = fr.mul(gx, z1z1)
+    s2 = fr.mul(gy, fr.mul(Z, z1z1))
+    h = fr.sub(u2, X)
+    hh = fr.square(h)
+    i4 = fr.add(fr.add(hh, hh), fr.add(hh, hh))
+    j = fr.mul(h, i4)
+    r = fr.add(fr.sub(s2, Y), fr.sub(s2, Y))
+    v = fr.mul(X, i4)
+    x3 = fr.sub(fr.sub(fr.square(r), j), fr.add(v, v))
+    yj = fr.mul(Y, j)
+    y3 = fr.sub(fr.mul(r, fr.sub(v, x3)), fr.add(yj, yj))
+    z3 = fr.sub(fr.sub(fr.square(fr.add(Z, h)), z1z1), hh)
+    return x3, y3, z3
 
 
 def _iso_map(xs, x0, t):
@@ -86,19 +104,26 @@ def _make_layer0(width: int, log_n: int, chunked: bool):
     def layer0(tab, cos, offset):
         X = jnp.broadcast_to(cos[0][:, None], (fr.NLIMB, width))
         Y = jnp.broadcast_to(cos[1][:, None], (fr.NLIMB, width))
+        Z = fr.ones((width,))
         idx = offset + jnp.arange(width, dtype=jnp.int32)
 
         def body(j, carry):
-            X, Y = carry
+            X, Y, Z = carry
             g = jax.lax.dynamic_index_in_dim(tab, j, keepdims=False)
             gx = jnp.broadcast_to(g[0][:, None], (fr.NLIMB, width))
             gy = jnp.broadcast_to(g[1][:, None], (fr.NLIMB, width))
-            x3, y3 = _affine_add(X, Y, gx, gy)
+            x3, y3, z3 = _jacobian_madd(X, Y, Z, gx, gy)
             mask = ((idx >> j) & 1) == 1
-            return fr.select(mask, x3, X), fr.select(mask, y3, Y)
+            return (
+                fr.select(mask, x3, X),
+                fr.select(mask, y3, Y),
+                fr.select(mask, z3, Z),
+            )
 
-        X, _ = jax.lax.fori_loop(0, steps, body, (X, Y))
-        return X
+        X, _, Z = jax.lax.fori_loop(0, steps, body, (X, Y, Z))
+        # one shared batch inversion at the END (not per step): x = X/Z^2
+        zinv = fr.batch_inverse(Z, axis=0)
+        return fr.mul(X, fr.square(zinv))
 
     return layer0
 

@@ -35,6 +35,9 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,6 +46,26 @@ from dvpari_tpu.ops import fr
 from dvpari_tpu.fftree import aux_curve
 from dvpari_tpu.fftree.polyops import polymul, vanishing_poly_coeffs
 
+
+# Concurrent XLA compile workers for the per-level programs.  The level
+# loops (enter/exit) otherwise compile serially -- on the tunneled TPU
+# backend each per-level program is a ~3-5 min remote compile, which made
+# a cold 2^16 setup spend ~1h40m in setup.validate_z (JOURNAL.md round 4).
+# Compile RPCs release the GIL, so a small thread pool overlaps them.
+# On the LOCAL CPU backend compiles are CPU-bound on the same 4 cores --
+# parallelizing them there just thrashes (and slowed the multichip
+# dryrun past its timeout), so warming defaults off unless the env var
+# asks for it explicitly.  1 disables warming (old serial behavior).
+
+
+def _warm_workers() -> int:
+    env = os.environ.get("DVPARI_COMPILE_WORKERS")
+    if env is not None:
+        return int(env)
+    try:
+        return 4 if jax.default_backend() != "cpu" else 1
+    except Exception:
+        return 1
 
 # Largest domain whose vanishing-poly product tree runs as python-int
 # schoolbook.  Above this the GMP Kronecker-substitution tree
@@ -105,6 +128,7 @@ class FFTree:
         self._jit_cache: dict = {}
         self._np_cache: dict = {}
         self._dev_cache: dict = {}
+        self._warmed: set = set()
         # When the tree is an on-disk artifact, its derived tables
         # (extend constants, x^n powers, z-chains) persist next to it:
         # they are pure functions of the tree, and recomputing them costs
@@ -149,9 +173,17 @@ class FFTree:
         the host for small ones.
         """
         if device is None:
-            # host chain build is ~30us/point - fine into the millions;
-            # the device path avoids host enumeration for huge domains
-            device = domain_len >= (1 << 18)
+            # host chain build is ~190us/point measured (25 s at 2^17,
+            # ~7 min at 2^21) - the right tool through m=2^20.  The
+            # device chunked ladder exists for 2^22+ (where host
+            # enumeration is tens of minutes) but its first compile on
+            # the tunneled backend is minutes-to-unbounded (the 28-step
+            # masked ladder with per-step Montgomery-trick inversions
+            # stalled >27 min at 2^19 on 2026-08-20), so it is opt-in
+            # via threshold until the compile is tamed.
+            device = domain_len >= int(
+                os.environ.get("DVPARI_DEVICE_TREE_MIN", str(1 << 22))
+            )
         if device:
             from dvpari_tpu.fftree.device_build import build_layers_device
 
@@ -254,8 +286,10 @@ class FFTree:
         tgt_off = (1 << d) if moiety == "S1" else 0
         stride = 1 << (d + 1)
         cpu = _cpu_device()
-        dec, rec, host = [], [], {}
-        for k in range(_log2(m)):
+        K = _log2(m)
+        host = {}
+
+        def derive(k):
             mk = m >> k
             half = mk >> 1
             Lk = self._layer_np(k)
@@ -277,8 +311,19 @@ class FFTree:
                     dk, rk = fn(*args, x0)
             else:
                 dk, rk = fn(*args, x0)
-            dk = [np.asarray(v) for v in dk]
-            rk = [np.asarray(v) for v in rk]
+            return [np.asarray(v) for v in dk], [np.asarray(v) for v in rk]
+
+        # levels are independent: overlap their local XLA:CPU compiles
+        # (each level size is its own small program; a cold 2^16 prove
+        # spent ~18 min deriving extend tables serially)
+        nw = _warm_workers()
+        if K > 1 and nw > 1:
+            with ThreadPoolExecutor(max_workers=nw) as pool:
+                derived = list(pool.map(derive, range(K)))
+        else:
+            derived = [derive(k) for k in range(K)]
+        dec, rec = [], []
+        for k, (dk, rk) in enumerate(derived):
             for i in range(4):
                 host[f"d{k}_{i}"] = dk[i]
                 host[f"r{k}_{i}"] = rk[i]
@@ -424,6 +469,44 @@ class FFTree:
             self._jit_cache[key] = jax.jit(builder)
         return self._jit_cache[key]
 
+    def _warm(self, jobs):
+        """Overlap the XLA compiles of a batch of level programs.
+
+        jobs: list of (key, thunk) where thunk() calls the jitted level
+        function once with dummy (zeros) state and the real tables.  The
+        dummy executions are microseconds of device time; the point is
+        that each first call carries that program's compile, and running
+        them from a thread pool overlaps the compile RPCs (minutes each
+        on the tunneled backend).  The level loop that follows then hits
+        the in-process executable cache."""
+        todo = [(k, t) for k, t in jobs if k not in self._warmed]
+        for k, _ in todo:
+            self._warmed.add(k)
+        nw = _warm_workers()
+        if len(todo) <= 1 or nw <= 1:
+            return
+        import time as _time
+
+        trace = os.environ.get("DVPARI_TRACE")
+        t0 = _time.time()
+
+        def run(job):
+            key, thunk = job
+            ts = _time.time()
+            thunk()
+            return key, _time.time() - ts
+
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            for key, dt in pool.map(run, todo):
+                if trace:
+                    print(f"  [warm {dt:7.1f}s] {key}", flush=True)
+        if trace:
+            print(
+                f"  [warm total {_time.time()-t0:.1f}s, {len(todo)} programs, "
+                f"{nw} workers]",
+                flush=True,
+            )
+
     def extend(self, evals: jnp.ndarray, moiety: str = "S1", d: int = 0):
         m = evals.shape[-1]
         assert m == self.n >> (d + 1), (m, self.n, d)
@@ -445,11 +528,29 @@ class FFTree:
         n = coeffs.shape[-1]
         assert n == self.n >> d
         K = _log2(n)
-        state = coeffs[..., :, None]  # (20, *B, V=n, s=1)
+        # pass 1: derive tables (host + local-CPU), propagate level shapes
+        # with eval_shape, and overlap the K remote compiles (see _warm)
+        levels, jobs = [], []
+        sds = jax.ShapeDtypeStruct(
+            tuple(coeffs.shape) + (1,), coeffs.dtype
+        )  # (20, *B, V=n, s=1)
         for k in reversed(range(K)):
             dec, rec = self._extend_consts(d + k, "S1")
             xe, xo = self._xnn(d + k)
-            fn = self._jitted(("enter_lvl", d, k, coeffs.shape), _enter_level)
+            key = ("enter_lvl", d, k, coeffs.shape)
+            fn = self._jitted(key, _enter_level)
+            levels.append((fn, dec, rec, xe, xo))
+            shp, dt = sds.shape, sds.dtype
+            jobs.append(
+                (key, lambda f=fn, s=shp, t=dt, a=(dec, rec, xe, xo): f(
+                    jnp.zeros(s, t), *a
+                ))
+            )
+            sds = jax.eval_shape(fn, sds, dec, rec, xe, xo)
+        self._warm(jobs)
+        # pass 2: the actual level-synchronous execution (all cache hits)
+        state = coeffs[..., :, None]
+        for fn, dec, rec, xe, xo in levels:
             state = fn(state, dec, rec, xe, xo)
         return state[..., 0, :]
 
@@ -459,16 +560,42 @@ class FFTree:
         n = evals.shape[-1]
         assert n == self.n >> d
         K = _log2(n)
-        state = evals[..., None, :]  # (20, *B, V=1, s=n)
+        # two-pass like enter: derive tables + overlap the 2K compiles
+        fwd, bwd, jobs = [], [], []
+        sds = jax.ShapeDtypeStruct(
+            tuple(evals.shape[:-1]) + (1, evals.shape[-1]), evals.dtype
+        )  # (20, *B, V=1, s=n)
         for k in range(K):
             ext1 = self._extend_consts(d + k, "S1")
             ext0 = self._extend_consts(d + k, "S0")
             z0inv = self._z0_inv_odd(d + k)
-            fn = self._jitted(("exit_fwd", d, k, evals.shape), _exit_fwd_level)
-            state = fn(state, ext1, ext0, z0inv)
+            key = ("exit_fwd", d, k, evals.shape)
+            fn = self._jitted(key, _exit_fwd_level)
+            fwd.append((fn, ext1, ext0, z0inv))
+            shp, dt = sds.shape, sds.dtype
+            jobs.append(
+                (key, lambda f=fn, s=shp, t=dt, a=(ext1, ext0, z0inv): f(
+                    jnp.zeros(s, t), *a
+                ))
+            )
+            sds = jax.eval_shape(fn, sds, ext1, ext0, z0inv)
         for k in reversed(range(K)):
             ztail = self._z0_tail(d + k + 1)
-            fn = self._jitted(("exit_bwd", d, k, evals.shape), _exit_bwd_level)
+            key = ("exit_bwd", d, k, evals.shape)
+            fn = self._jitted(key, _exit_bwd_level)
+            bwd.append((fn, ztail))
+            shp, dt = sds.shape, sds.dtype
+            jobs.append(
+                (key, lambda f=fn, s=shp, t=dt, a=(ztail,): f(
+                    jnp.zeros(s, t), *a
+                ))
+            )
+            sds = jax.eval_shape(fn, sds, ztail)
+        self._warm(jobs)
+        state = evals[..., None, :]
+        for fn, ext1, ext0, z0inv in fwd:
+            state = fn(state, ext1, ext0, z0inv)
+        for fn, ztail in bwd:
             state = fn(state, ztail)
         return state[..., 0, :]
 

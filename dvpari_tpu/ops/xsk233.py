@@ -411,10 +411,16 @@ def _recode_impl() -> str:
     return os.environ.get("DVPARI_RECODE", "device")
 
 
-# One compiled program per (array shape, chunk width): slice offsets are
-# traced dynamic_slice arguments, NOT static slice bounds -- eager
-# per-offset slicing would compile one program per chunk offset on the
-# tunneled TPU backend (~45 s each, see fftree/tree.py's table-prep note).
+# Compile-cost structure: slice offsets are traced dynamic_slice
+# arguments, NOT static bounds (eager per-offset slicing would compile
+# one program per chunk offset, ~45 s each on the tunneled backend) --
+# AND the cheap slicing is its own tiny program, keyed by the full array
+# shape, while the expensive fused recode / Pallas-ladder programs see
+# only fixed chunk-width inputs and are keyed by (rck) / (rck, ck).  One
+# ~570 s ladder compile then serves every MSM (g_m, g_q, g_k) at every
+# problem size; only the seconds-scale slice programs are per-shape.
+_slice_canon_jits: dict = {}
+_slice_plane_jits: dict = {}
 _recode_chunk_jits: dict = {}
 _ladder_chunk_jits: dict = {}
 
@@ -455,31 +461,42 @@ def _msm_device_recoded(canon_dev, planes, on_device, C, ck):
     if not on_device:
         planes = jnp.asarray(planes)  # single upload; sliced on device
 
-    rk = (canon_dev.shape, rck)
-    if rk not in _recode_chunk_jits:
-        _recode_chunk_jits[rk] = jax.jit(
-            lambda canon, i: tdev.recode_masks(
-                jax.lax.dynamic_slice_in_dim(canon, i, 32 * rck, axis=1)
+    sk = (canon_dev.shape, rck)
+    if sk not in _slice_canon_jits:
+        _slice_canon_jits[sk] = jax.jit(
+            lambda canon, i: jax.lax.dynamic_slice_in_dim(
+                canon, i, 32 * rck, axis=1
             )
         )
-    lk = (planes.shape, rck, ck)
+    pk = (planes.shape, ck)
+    if pk not in _slice_plane_jits:
+        _slice_plane_jits[pk] = jax.jit(
+            lambda pl, c0: jax.lax.dynamic_slice_in_dim(pl, c0, ck, axis=2)
+        )
+    if rck not in _recode_chunk_jits:
+        _recode_chunk_jits[rck] = jax.jit(tdev.recode_masks)
+    lk = (rck, ck)
     if lk not in _ladder_chunk_jits:
         _ladder_chunk_jits[lk] = jax.jit(
-            lambda oh, ng, pl, m0, c0: pallas_msm.msm_packed(
+            lambda oh, ng, plc, m0: pallas_msm.msm_packed(
                 jax.lax.dynamic_slice_in_dim(oh, m0, ck, axis=2),
                 jax.lax.dynamic_slice_in_dim(ng, m0, ck, axis=1),
-                jax.lax.dynamic_slice_in_dim(pl, c0, ck, axis=2),
+                plc,
             )
         )
-    recode_fn = _recode_chunk_jits[rk]
+    slice_canon = _slice_canon_jits[sk]
+    slice_plane = _slice_plane_jits[pk]
+    recode_fn = _recode_chunk_jits[rck]
     ladder_fn = _ladder_chunk_jits[lk]
 
     partials, oks = [], []
     for r0 in range(0, Cp, rck):
-        oh, ng, ok = recode_fn(canon_dev, 32 * r0)
+        oh, ng, ok = recode_fn(slice_canon(canon_dev, 32 * r0))
         oks.append(ok)
         for c0 in range(r0, min(r0 + rck, Cp), ck):
-            partials.append(ladder_fn(oh, ng, planes, c0 - r0, c0))
+            partials.append(
+                ladder_fn(oh, ng, slice_plane(planes, c0), c0 - r0)
+            )
     if len(partials) == 1:
         return partials[0], oks
     return bs.fold_cols(jnp.stack(partials, axis=-1)), oks
