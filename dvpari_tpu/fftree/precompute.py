@@ -17,6 +17,7 @@ from dvpari_tpu.fftree.polyops import poly_derivative
 
 _jit_poly_derivative = jax.jit(poly_derivative)
 _jit_batch_inverse = jax.jit(lambda e: fr.batch_inverse(e, axis=0))
+_jit_poly_eval = jax.jit(fr.poly_eval)
 
 
 @jax.jit
@@ -75,6 +76,86 @@ def _jit_barycentric_eval3(domain, bar_wts, z_coeffs, pa, pb, pc, alpha):
     )
     return outs + (diff_inv,)
 
+
+
+def warm_protocol_programs(m: int, n_pubs: int = 0, for_prove: bool = False):
+    """Fire-and-forget concurrent compilation of the protocol layer's
+    singleton jit programs for domain size m.
+
+    The setup/prove pipelines otherwise pay each singleton's remote
+    compile (~3-5 min on the tunneled backend) serially at first use;
+    issuing them all from a background thread pool at pipeline start
+    overlaps the compiles with the pipeline's own work (same idea as
+    FFTree._warm for the per-level programs).  Zero-argument executions
+    are valid for every program here (all are total functions; the
+    protocol asserts live OUTSIDE the jitted bodies).  No-op when
+    warming is disabled (local CPU backend without an explicit
+    DVPARI_COMPILE_WORKERS)."""
+    from dvpari_tpu.fftree.tree import _warm_workers
+
+    nw = _warm_workers()
+    if nw <= 1:
+        return
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    def Z(*s):
+        return jnp.zeros((fr.NLIMB,) + tuple(s), jnp.int32)
+
+    jobs = [
+        ("poly_derivative", lambda: _jit_poly_derivative(Z(m + 1))),
+        ("batch_inverse", lambda: _jit_batch_inverse(Z(m))),
+        ("poly_eval", lambda: _jit_poly_eval(Z(m + 1), Z())),
+        ("horner_step", lambda: _jit_horner_step(Z(m), Z(m), Z())),
+    ]
+    if not for_prove:
+        jobs += [
+            ("lagrange_at_tau",
+             lambda: _jit_lagrange_at_tau(Z(m + 1), Z(), Z(m), Z(m))),
+            ("lagrange_unified",
+             lambda: _jit_lagrange_unified(
+                 Z(), Z(m), Z(m), Z(m + 1), Z(m + 1), Z(m), Z(m))),
+        ]
+    else:
+        from dvpari_tpu.protocol import prover as _pr
+
+        jobs += [
+            ("barycentric_eval3",
+             lambda: _jit_barycentric_eval3(
+                 Z(m), Z(m), Z(m + 1), Z(m), Z(m), Z(m), Z())),
+            ("quotient",
+             lambda: _pr._jit_quotient(Z(m), Z(m), Z(m), Z(m), Z(m))),
+            ("k_scalars",
+             lambda: _pr._jit_k_scalars(
+                 Z(m), Z(m), Z(m), Z(m), Z(m), Z(), Z(), Z(), Z(), Z(m))),
+            ("sat_check",
+             lambda: _pr._jit_sat_check(Z(m), Z(m), Z(m), Z(m))),
+            ("in_domain", lambda: _pr._jit_in_domain(Z(m), Z())),
+        ]
+        if n_pubs:
+            jobs.append(
+                ("monomial_evals",
+                 lambda: _pr._jit_monomial_evals(Z(n_pubs + 1), Z(m)))
+            )
+
+    import os as _os
+
+    trace = _os.environ.get("DVPARI_TRACE")
+
+    def run_all():
+        import time as _t
+
+        t0 = _t.time()
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            list(pool.map(lambda j: j[1](), jobs))
+        if trace:
+            print(
+                f"  [warm singletons {_t.time()-t0:.1f}s, "
+                f"{len(jobs)} programs]",
+                flush=True,
+            )
+
+    threading.Thread(target=run_all, daemon=True).start()
 
 
 def compute_vanishing_polynomial(tree2n: FFTree) -> jnp.ndarray:

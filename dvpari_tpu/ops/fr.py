@@ -364,6 +364,36 @@ def sum_along(a: jnp.ndarray, axis: int) -> jnp.ndarray:
     return total
 
 
+def _shift_fill_one(u: jnp.ndarray, s: int, ax: int, reverse: bool):
+    """Shift by s along ax, filling vacated slots with Fr one."""
+    n = u.shape[ax]
+    one_vec = ones(u.shape[1:])
+    idx = jnp.arange(n).reshape(
+        tuple(n if d == ax - 1 else 1 for d in range(u.ndim - 1))
+    )
+    if reverse:
+        return select(idx >= n - s, one_vec, jnp.roll(u, -s, axis=ax))
+    return select(idx < s, one_vec, jnp.roll(u, s, axis=ax))
+
+
+def _scan_mul(v: jnp.ndarray, ax: int, reverse: bool = False):
+    """Inclusive product scan along axis `ax` (Hillis-Steele doubling).
+
+    Replaces jax.lax.associative_scan(mul, ...): Blelloch's lowering
+    emits non-uniform odd/even slice shapes per stage, and the XLA
+    fusion planner on those stalled the tunneled TPU compiler for 30+
+    minutes on a single (20, 2^18) batch_inverse program (2026-08-20).
+    Here every stage is mul + roll + masked select at the FULL uniform
+    shape (2x the multiplies of work-efficient scan, identical O(log n)
+    depth), which compiles like any other elementwise program."""
+    s = 1
+    n = v.shape[ax]
+    while s < n:
+        v = mul(v, _shift_fill_one(v, s, ax, reverse))
+        s <<= 1
+    return v
+
+
 def batch_inverse(a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """Montgomery-trick batched inversion along a batch axis.
 
@@ -375,20 +405,12 @@ def batch_inverse(a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     ax = axis + 1
     zmask = is_zero(a)
     safe = select(zmask, ones(a.shape[1:]), a)
-    pref = jax.lax.associative_scan(mul, safe, axis=ax)
+    pref = _scan_mul(safe, ax)
     total = jax.lax.index_in_dim(pref, a.shape[ax] - 1, axis=ax, keepdims=True)
     inv_total = inv(total)
-    suf = jax.lax.associative_scan(mul, safe, axis=ax, reverse=True)
-    ones_row = ones(
-        tuple(1 if d == ax - 1 else s for d, s in enumerate(a.shape[1:]))
-    )
-    pref_shift = jnp.concatenate(
-        [ones_row, jax.lax.slice_in_dim(pref, 0, a.shape[ax] - 1, axis=ax)],
-        axis=ax,
-    )
-    suf_shift = jnp.concatenate(
-        [jax.lax.slice_in_dim(suf, 1, a.shape[ax], axis=ax), ones_row], axis=ax
-    )
+    suf = _scan_mul(safe, ax, reverse=True)
+    pref_shift = _shift_fill_one(pref, 1, ax, False)
+    suf_shift = _shift_fill_one(suf, 1, ax, True)
     out = mul(mul(pref_shift, suf_shift), inv_total)
     return select(zmask, zeros(a.shape[1:]), out)
 
@@ -420,8 +442,10 @@ def poly_eval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def powers(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[1, x, x^2, ..., x^(n-1)] as int32[20, n] via a log-depth scan."""
+    """[1, x, x^2, ..., x^(n-1)] as int32[20, n] via a log-depth scan
+    (_scan_mul doubling -- see its docstring for why not
+    associative_scan)."""
     x = jnp.asarray(x, dtype=jnp.int32)
     xb = jnp.broadcast_to(x[:, None], (NLIMB, n))
     xb = jnp.concatenate([ones(())[:, None], xb[:, 1:]], axis=1)
-    return jax.lax.associative_scan(mul, xb, axis=1)
+    return _scan_mul(xb, 1)

@@ -146,6 +146,8 @@ def prove(
         z_poly = art.read_fr_vec(os.path.join(cache_dir, art.Z_POLY))
         m = z_poly.shape[-1] - 1
         n_log = m.bit_length() - 1
+        # overlap the singleton-program compiles with the pipeline
+        pre.warm_protocol_programs(m, len(public_inputs), for_prove=True)
         tree2n = _load_or_build_tree(cache_dir, art.TREE_2N, 2 * m, False, n_log + 1)
         dom, dom2 = tree2n.both_domains()
 

@@ -164,6 +164,8 @@ def verifier_runs_setup(
     m = inst.num_constraints
     n_log = m.bit_length() - 1
     tau_dev = jnp.asarray(fr.from_int(trapdoor.tau))
+    # overlap the singleton-program compiles with the pipeline
+    pre.warm_protocol_programs(m)
 
     def domain_precomputes(tree_name, zf, bf, shift):
         with phase("setup.tree", tree=tree_name):
@@ -241,7 +243,7 @@ def verifier_runs_setup(
         del m_vals, g_m, g_m_planes
 
     with phase("setup.g_q"):
-        z_tau_i = fr.to_int(jax.jit(fr.poly_eval)(z_poly, tau_dev))
+        z_tau_i = fr.to_int(pre._jit_poly_eval(z_poly, tau_dev))
         scale = z_tau_i * delta2 % fr.P * eps % fr.P
         g_q, g_q_planes = _gen_mul_batch(
             _jit_scale(l_taud, jnp.asarray(fr.from_int(scale)).reshape(fr.NLIMB, 1))
