@@ -133,9 +133,13 @@ def warm_protocol_programs(m: int, n_pubs: int = 0, for_prove: bool = False):
             ("in_domain", lambda: _pr._jit_in_domain(Z(m), Z())),
         ]
         if n_pubs:
+            # column count must match the real call site exactly
+            # (prover.py _monomial_evals_over_domain builds pubs from
+            # public_inputs alone -> n_pubs columns); the loop unrolls on
+            # it, so an off-by-one warms a program that is never reused
             jobs.append(
                 ("monomial_evals",
-                 lambda: _pr._jit_monomial_evals(Z(n_pubs + 1), Z(m)))
+                 lambda: _pr._jit_monomial_evals(Z(n_pubs), Z(m)))
             )
 
     import os as _os

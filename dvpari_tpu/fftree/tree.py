@@ -61,11 +61,29 @@ from dvpari_tpu.fftree.polyops import polymul, vanishing_poly_coeffs
 def _warm_workers() -> int:
     env = os.environ.get("DVPARI_COMPILE_WORKERS")
     if env is not None:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            pass  # malformed env: fall back to the backend default
     try:
         return 4 if jax.default_backend() != "cpu" else 1
     except Exception:
         return 1
+
+
+def _env_int(name: str, default: int) -> int:
+    """Env-int parse with fallback (a malformed value must degrade to the
+    default, not raise deep inside setup/prove)."""
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+# Shared jit wrappers for the module-level transform bodies (see
+# FFTree._jitted) and the module-wide warmed-program set (a second tree
+# instance at the same shapes must not re-warm).
+_MOD_JITS: dict = {}
+_MOD_WARMED: set = set()
 
 # Largest domain whose vanishing-poly product tree runs as python-int
 # schoolbook.  Above this the GMP Kronecker-substitution tree
@@ -181,9 +199,7 @@ class FFTree:
             # masked ladder with per-step Montgomery-trick inversions
             # stalled >27 min at 2^19 on 2026-08-20), so it is opt-in
             # via threshold until the compile is tamed.
-            device = domain_len >= int(
-                os.environ.get("DVPARI_DEVICE_TREE_MIN", str(1 << 22))
-            )
+            device = domain_len >= _env_int("DVPARI_DEVICE_TREE_MIN", 1 << 22)
         if device:
             from dvpari_tpu.fftree.device_build import build_layers_device
 
@@ -465,6 +481,19 @@ class FFTree:
     # the whole level-synchronous pass fuses into one XLA program.
 
     def _jitted(self, key, builder):
+        # Module-level builders (the per-level transform bodies) share ONE
+        # jit wrapper across all FFTree instances: jax.jit's signature
+        # cache then makes tree2nd's levels hit the executables tree2n
+        # already compiled (same shapes), instead of re-jitting -- on the
+        # tunneled backend each re-jit is a ~50-100 s persistent-cache
+        # load, x18 levels per tree.
+        if (
+            getattr(builder, "__module__", None) == __name__
+            and getattr(builder, "__name__", "<lambda>") != "<lambda>"
+        ):
+            if builder not in _MOD_JITS:
+                _MOD_JITS[builder] = jax.jit(builder)
+            return _MOD_JITS[builder]
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(builder)
         return self._jit_cache[key]
@@ -479,9 +508,14 @@ class FFTree:
         them from a thread pool overlaps the compile RPCs (minutes each
         on the tunneled backend).  The level loop that follows then hits
         the in-process executable cache."""
-        todo = [(k, t) for k, t in jobs if k not in self._warmed]
+        todo = [
+            (k, t)
+            for k, t in jobs
+            if k not in self._warmed and k not in _MOD_WARMED
+        ]
         for k, _ in todo:
             self._warmed.add(k)
+            _MOD_WARMED.add(k)
         nw = _warm_workers()
         if len(todo) <= 1 or nw <= 1:
             return

@@ -106,6 +106,12 @@ def load() -> "ctypes.CDLL | None":
         lib.dv_zpoly_coeffs.restype = ctypes.c_int64
     except Exception:
         pass
+    try:
+        lib.dv_pt_smul.argtypes = [u8p, u64p, ctypes.c_uint8, u64p, u8p]
+        lib.dv_pt_decode.argtypes = [u8p, u64p, u8p]
+        lib.dv_pt_decode.restype = ctypes.c_int
+    except Exception:
+        pass
     _lib = lib
     return lib
 
@@ -177,6 +183,48 @@ def r1cs_parse_rows(data, rows_off: int):
         as32(mats[2][0]), as32(mats[2][1]),
     )
     return counts, mats
+
+
+def pt_decode(data: bytes):
+    """30-byte record -> ((x, y) | None, is_valid) via the native codec;
+    NotImplemented when the export is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "dv_pt_decode"):
+        return NotImplemented
+    raw = np.frombuffer(bytes(data), dtype=np.uint8)
+    xy = np.zeros(8, dtype=np.uint64)
+    inf = np.zeros(1, dtype=np.uint8)
+    ok = lib.dv_pt_decode(_u8p(raw), _u64p(xy), _u8p(inf))
+    if not ok:
+        return None, False
+    if inf[0]:
+        return None, True
+    return (fe_words_to_int(xy[:4]), fe_words_to_int(xy[4:])), True
+
+
+def pt_smul(k: int, x: int, y: int):
+    """[k]P for an affine python-int point; returns (x, y) or None.
+
+    Native double-and-add (dv_pt_smul) -- used by the O(1) verifier,
+    whose two scalar muls otherwise run the pure-python oracle at
+    seconds each (reference: src/srs.rs:374-428 is effectively instant).
+    Returns NotImplemented when the native backend lacks the export.
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "dv_pt_smul"):
+        return NotImplemented
+    k30 = np.frombuffer(
+        (int(k)).to_bytes(30, "little"), dtype=np.uint8
+    ).copy()
+    xy = np.concatenate([fe_int_to_words(x), fe_int_to_words(y)])
+    out = np.zeros(8, dtype=np.uint64)
+    inf = np.zeros(1, dtype=np.uint8)
+    lib.dv_pt_smul(
+        _u8p(k30), _u64p(xy), ctypes.c_uint8(0), _u64p(out), _u8p(inf)
+    )
+    if inf[0]:
+        return None
+    return fe_words_to_int(out[:4]), fe_words_to_int(out[4:])
 
 
 def encode_bulk(xy: np.ndarray, inf: np.ndarray) -> bytes:

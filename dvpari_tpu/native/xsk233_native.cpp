@@ -525,6 +525,34 @@ void dv_pt_double(const u64 *p, u64 *out) {
   memcpy(out, &R, 96);
 }
 
+// [k]P for a 240-bit little-endian scalar and an affine input point;
+// affine output.  One call covers the verifier's two scalar muls
+// (reference: src/srs.rs:374-428 verifies via two xsk233 scalar muls) --
+// the pure-python double-and-add oracle costs seconds per mul, this is
+// sub-millisecond.
+void dv_pt_smul(const uint8_t *k30, const u64 *xy_in, uint8_t inf_in,
+                u64 *xy_out, uint8_t *inf_out) {
+  PT acc = pt_inf();
+  if (!inf_in) {
+    PT P;
+    memcpy(P.X.w, xy_in, 32);
+    memcpy(P.Y.w, xy_in + 4, 32);
+    P.Z = fe_one();
+    int top = 239;
+    while (top >= 0 && !((k30[top >> 3] >> (top & 7)) & 1)) top--;
+    for (int i = top; i >= 0; i--) {
+      acc = pt_double(acc);
+      if ((k30[i >> 3] >> (i & 7)) & 1) acc = pt_add(acc, P);
+    }
+  }
+  FE x, y;
+  int inf;
+  pt_to_affine(acc, x, y, inf);
+  *inf_out = (uint8_t)inf;
+  memcpy(xy_out, x.w, 32);
+  memcpy(xy_out + 4, y.w, 32);
+}
+
 // batched affine normalization: n points (12 words each) -> 8 words (x, y)
 // + inf flag bytes.  Montgomery batch inversion (one fe_inv + 3 muls per
 // point per chunk) under OpenMP -- the reference parallelizes both sides

@@ -367,7 +367,10 @@ def sum_along(a: jnp.ndarray, axis: int) -> jnp.ndarray:
 def _shift_fill_one(u: jnp.ndarray, s: int, ax: int, reverse: bool):
     """Shift by s along ax, filling vacated slots with Fr one."""
     n = u.shape[ax]
-    one_vec = ones(u.shape[1:])
+    # broadcastable (20, 1, ..., 1) ones: a full-shape constant would be
+    # embedded in the lowered module once per scan stage and only MLIR
+    # attribute dedup keeps 2^20+-lane modules under the tunnel's size cap
+    one_vec = ones(tuple(1 for _ in u.shape[1:]))
     idx = jnp.arange(n).reshape(
         tuple(n if d == ax - 1 else 1 for d in range(u.ndim - 1))
     )

@@ -275,8 +275,8 @@ def verifier_runs_setup(
 
 def verify(trapdoor: Trapdoor, public_inputs: "list[int]", proof: Proof) -> bool:
     """O(1) verification (reference: SRS::verify, src/srs.rs:374-428)."""
-    commit_p, p_valid = host.decode(proof.commit_p)
-    kzg_k, k_valid = host.decode(proof.kzg_k)
+    commit_p, p_valid = host.decode_fast(proof.commit_p)
+    kzg_k, k_valid = host.decode_fast(proof.kzg_k)
 
     t = Transcript()
     t.srs_hash()
@@ -296,6 +296,8 @@ def verify(trapdoor: Trapdoor, public_inputs: "list[int]", proof: Proof) -> bool
     )
     v0 = (trapdoor.tau - alpha) % fr.P * trapdoor.epsilon % fr.P
 
-    lhs = host.add(host.smul(v0, kzg_k), host.smul(u0, (host.GX, host.GY)))
+    lhs = host.add(
+        host.smul_fast(v0, kzg_k), host.smul_fast(u0, (host.GX, host.GY))
+    )
     valid_inputs = p_valid and k_valid and proof.a0_valid and proof.b0_valid
     return bool(lhs == commit_p) and valid_inputs

@@ -75,6 +75,19 @@ def smul(k: int, p):
     return acc
 
 
+def smul_fast(k: int, p):
+    """[k]P via the native backend when available (sub-ms), else the
+    python-int ladder.  0 <= k < 2^240; p affine or None."""
+    if p is None or k == 0:
+        return None
+    from dvpari_tpu import native
+
+    r = native.pt_smul(k, p[0], p[1])
+    if r is NotImplemented:
+        return smul(k, p)
+    return r
+
+
 def in_subgroup(p) -> bool:
     """Order-r membership: x != 0, Tr(x) = 0, and the half is halvable.
 
@@ -107,6 +120,18 @@ def encode(p) -> bytes:
     lam_bit = g.mul_int(y, g.inv_int(x)) & 1
     v = x | (lam_bit << 233)
     return v.to_bytes(30, "little")
+
+
+def decode_fast(data: bytes):
+    """decode() via the native codec when available (the python halftrace
+    costs ~25 ms per point; the verifier decodes two)."""
+    assert len(data) == 30
+    from dvpari_tpu import native
+
+    r = native.pt_decode(data)
+    if r is NotImplemented:
+        return decode(data)
+    return r
 
 
 def decode(data: bytes):

@@ -50,6 +50,35 @@ def test_codec_matches_python():
     assert native.encode_bulk(xy, inf) == enc_py
 
 
+def test_pt_smul_matches_oracle():
+    """Native scalar-mul (the verifier's hot path) vs the python ladder."""
+    rng = random.Random(19)
+    G = (host.GX, host.GY)
+    P = host.smul(rng.randrange(1, host.R), G)
+    for k in [1, 2, 3, rng.randrange(1, host.R), host.R - 1]:
+        assert host.smul_fast(k, P) == host.smul(k, P)
+    assert host.smul_fast(0, P) is None
+    assert host.smul_fast(host.R, P) is None  # order * P = infinity
+    assert host.smul_fast(7, None) is None
+
+
+def test_pt_decode_single_matches_oracle():
+    """Native single-record decode (verifier path) vs the python decode,
+    including the validity contract on malformed records."""
+    rng = random.Random(20)
+    G = (host.GX, host.GY)
+    for _ in range(3):
+        p = host.smul(rng.randrange(1, host.R), G)
+        enc = host.encode(p)
+        assert host.decode_fast(enc) == host.decode(enc) == (p, True)
+    assert host.decode_fast(bytes(30)) == (None, True)  # infinity
+    bad = bytearray(host.encode(G))
+    bad[29] |= 0xFC  # high padding bits set
+    assert host.decode_fast(bytes(bad)) == (None, False)
+    x_one = (1).to_bytes(30, "little")  # fails the trace solvability check
+    assert host.decode_fast(x_one) == host.decode(x_one)
+
+
 def test_codec_rejections():
     p = host.smul(12345, (host.GX, host.GY))
     bad = bytearray(host.encode(p))
