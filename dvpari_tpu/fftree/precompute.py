@@ -108,6 +108,16 @@ def warm_protocol_programs(m: int, n_pubs: int = 0, for_prove: bool = False):
         ("poly_eval", lambda: _jit_poly_eval(Z(m + 1), Z())),
         ("horner_step", lambda: _jit_horner_step(Z(m), Z(m), Z())),
     ]
+    import os
+    from dvpari_tpu.fftree import chunked
+
+    if (
+        m > chunked.chunk_elems()
+        and os.environ.get("DVPARI_PASS_IMPL", "chunked") == "chunked"
+    ):
+        # the domain transforms will run on the chunked pass engine:
+        # overlap its (size-independent) program universe too
+        jobs += chunked.warm_jobs()
     if not for_prove:
         jobs += [
             ("lagrange_at_tau",

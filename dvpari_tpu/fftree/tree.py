@@ -280,21 +280,30 @@ class FFTree:
         return self._jit_cache[key]
 
     def _extend_consts(self, d: int, moiety: str):
+        """Device-resident decompose/recombine tables (fused-path form)."""
         key = (d, moiety)
+        if key in self._ext_cache:
+            return self._ext_cache[key]
+        dec_np, rec_np = self._extend_consts_np(d, moiety)
+        self._ext_cache[key] = (
+            [tuple(jax.device_put(v) for v in t) for t in dec_np],
+            [tuple(jax.device_put(v) for v in t) for t in rec_np],
+        )
+        return self._ext_cache[key]
+
+    def _extend_consts_np(self, d: int, moiety: str):
+        """Host (numpy) decompose/recombine tables; the base layer both
+        the fused-path device cache and the chunked-path per-chunk cache
+        draw from (and the form persisted next to the tree artifact)."""
+        key = ("np", d, moiety)
         if key in self._ext_cache:
             return self._ext_cache[key]
         tname = f"ext_{d}_{moiety}"
         z = self._table_load(tname)
         if z is not None:
             K = int(z["K"])
-            dec = [
-                tuple(jax.device_put(z[f"d{k}_{i}"]) for i in range(4))
-                for k in range(K)
-            ]
-            rec = [
-                tuple(jax.device_put(z[f"r{k}_{i}"]) for i in range(4))
-                for k in range(K)
-            ]
+            dec = [tuple(z[f"d{k}_{i}"] for i in range(4)) for k in range(K)]
+            rec = [tuple(z[f"r{k}_{i}"] for i in range(4)) for k in range(K)]
             self._ext_cache[key] = (dec, rec)
             return self._ext_cache[key]
         m = self.n >> (d + 1)
@@ -343,23 +352,46 @@ class FFTree:
             for i in range(4):
                 host[f"d{k}_{i}"] = dk[i]
                 host[f"r{k}_{i}"] = rk[i]
-            dec.append(tuple(jax.device_put(v) for v in dk))
-            rec.append(tuple(jax.device_put(v) for v in rk))
+            dec.append(tuple(dk))
+            rec.append(tuple(rk))
         p = self._table_path(tname)
         if p:
             np.savez(p, K=np.int64(_log2(m)), **host)
         self._ext_cache[key] = (dec, rec)
         return self._ext_cache[key]
 
+    def _chunk_tables(self, d: int, moiety: str, C: int):
+        """Chunked-path device tables: per level, 4 whole arrays (SMALL
+        spans) or 4 lists of C-chunks (BIG spans).  Cached per view."""
+        key = ("chunktab", d, moiety, C)
+        if key not in self._dev_cache:
+            from dvpari_tpu.fftree import chunked
+
+            dec_np, rec_np = self._extend_consts_np(d, moiety)
+            self._dev_cache[key] = (
+                [tuple(chunked.chunk_table(v, C) for v in t) for t in dec_np],
+                [tuple(chunked.chunk_table(v, C) for v in t) for t in rec_np],
+            )
+        return self._dev_cache[key]
+
     def _xnn(self, d: int):
-        """x^(view_size/2) on even / odd leaves of view(d)."""
+        """Device x^(view_size/2) on even / odd leaves of view(d)."""
+        key = ("xnn_dev", d)
+        if key not in self._dev_cache:
+            ev, od = self._xnn_np(d)
+            self._dev_cache[key] = (
+                jax.device_put(jnp.asarray(ev)),
+                jax.device_put(jnp.asarray(od)),
+            )
+        return self._dev_cache[key]
+
+    def _xnn_np(self, d: int):
+        """Host (numpy) x^(view_size/2) tables on the two moieties."""
         if d in self._xnn_cache:
             return self._xnn_cache[d]
         z = self._table_load(f"xnn_{d}")
         if z is not None:
-            self._xnn_cache[d] = (
-                jax.device_put(z["even"]), jax.device_put(z["odd"])
-            )
+            self._xnn_cache[d] = (z["even"], z["odd"])
             return self._xnn_cache[d]
         sz = self.n >> (d + 1)
         lv = np.ascontiguousarray(self._layer_np(0)[:, :: 1 << d])
@@ -377,8 +409,20 @@ class FFTree:
         p = self._table_path(f"xnn_{d}")
         if p:
             np.savez(p, even=ev, odd=od)
-        self._xnn_cache[d] = (jax.device_put(ev), jax.device_put(od))
+        self._xnn_cache[d] = (ev, od)
         return self._xnn_cache[d]
+
+    def _xnn_chunks(self, d: int, C: int):
+        key = ("xnnchunk", d, C)
+        if key not in self._dev_cache:
+            from dvpari_tpu.fftree import chunked
+
+            ev, od = self._xnn_np(d)
+            self._dev_cache[key] = (
+                chunked.chunk_table(ev, C),
+                chunked.chunk_table(od, C),
+            )
+        return self._dev_cache[key]
 
     def z_coeffs(self, d: int) -> jnp.ndarray:
         """Vanishing-poly coefficients of view(d) leaves: (20, n_d + 1).
@@ -541,11 +585,36 @@ class FFTree:
                 flush=True,
             )
 
+    def _use_chunked(self, x, n: int) -> bool:
+        """Route unbatched transforms above one chunk through the
+        size-independent pass engine (fftree/chunked.py); batched,
+        sharded, or traced inputs keep the fused per-shape programs."""
+        from dvpari_tpu.fftree import chunked
+
+        if os.environ.get("DVPARI_PASS_IMPL", "chunked") != "chunked":
+            return False
+        if n <= chunked.chunk_elems():
+            return False
+        if getattr(x, "ndim", 0) != 2:
+            return False
+        if isinstance(x, jax.core.Tracer):
+            return False
+        if isinstance(x, np.ndarray):
+            return True
+        try:
+            return len(x.devices()) == 1
+        except Exception:
+            return False
+
     def extend(self, evals: jnp.ndarray, moiety: str = "S1", d: int = 0):
         m = evals.shape[-1]
         assert m == self.n >> (d + 1), (m, self.n, d)
         if m == 1:
             return evals
+        if self._use_chunked(evals, m):
+            from dvpari_tpu.fftree import chunked
+
+            return chunked.extend(self, evals, moiety, d)
         dec, rec = self._extend_consts(d, moiety)
         fn = self._jitted(("extend", d, evals.shape), _extend_tabled)
         return fn(evals, dec, rec)
@@ -561,6 +630,10 @@ class FFTree:
         setup-only path."""
         n = coeffs.shape[-1]
         assert n == self.n >> d
+        if self._use_chunked(coeffs, n):
+            from dvpari_tpu.fftree import chunked
+
+            return chunked.enter(self, coeffs, d)
         K = _log2(n)
         # pass 1: derive tables (host + local-CPU), propagate level shapes
         # with eval_shape, and overlap the K remote compiles (see _warm)

@@ -41,29 +41,59 @@ from dvpari_tpu.protocol import srs as S, prover as PR
 from dvpari_tpu.storage import artifacts as art
 
 
-from dvpari_tpu.r1cs.toy import synth_squaring_chain
+from dvpari_tpu.r1cs.toy import synth_squaring_chain, synth_multiterm
 
 
 def synth_circuit(n_rows):
-    """Squaring-chain circuit (shared helper; n_rows includes the two
-    public-output rows, matching the old local definition)."""
+    """Scale circuit (n_rows includes the two public-output rows).
+
+    DVPARI_SCALE_CIRCUIT=multiterm selects the SP1-realistic generator
+    (4 terms per matrix row, shared 512-entry coefficient table --
+    nnz/matrix = 4m, exercising the chunked segment-sum and Vandermonde
+    splice the way the reference's production R1CS does); default is the
+    one-term squaring chain."""
+    if os.environ.get("DVPARI_SCALE_CIRCUIT") == "multiterm":
+        return synth_multiterm(n_rows - 2)
     return synth_squaring_chain(n_rows - 2)
 
 
 def main():
     log_m = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     m = 1 << log_m
-    print("devices:", jax.devices(), "m = 2^%d" % log_m, flush=True)
+    variant = "mt" if os.environ.get("DVPARI_SCALE_CIRCUIT") == "multiterm" else ""
+    print(
+        "devices:", jax.devices(), "m = 2^%d%s" % (log_m, variant), flush=True
+    )
     # repo-local (gitignored) default: the artifact cache survives the
     # /tmp wipe between driver sessions, so reruns resume mid-pipeline
     cache = os.environ.get(
         "DVPARI_SCALE_CACHE",
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".scale_cache", f"m{log_m}",
+            ".scale_cache", f"m{log_m}{variant}",
         ),
     )
     os.makedirs(cache, exist_ok=True)
+    if variant:
+        # domain precomputes (trees, vanishing polys, weights, z-invs)
+        # depend only on m -- share them with the plain-circuit cache via
+        # hardlinks instead of re-deriving ~10 min of tables
+        plain = os.path.join(os.path.dirname(cache), f"m{log_m}")
+        if os.path.isdir(plain):
+            import shutil
+
+            for name in os.listdir(plain):
+                if not (
+                    name.startswith(("tree2n", "tree2nd", "z_", "bar_"))
+                ):
+                    continue
+                src, dst = os.path.join(plain, name), os.path.join(cache, name)
+                if os.path.exists(dst):
+                    continue
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst, copy_function=os.link)
+                else:
+                    os.link(src, dst)
 
     t0 = time.time()
     dump, pub, chain = synth_circuit(m - 2)  # pads to m
