@@ -69,22 +69,80 @@ def _log2(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _b(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    """Broadcast a (20, w) table against (20, *units, w) chunk views."""
-    return t.reshape((fr.NLIMB,) + (1,) * (ndim - 2) + (t.shape[-1],))
+def _tile(t: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Tile a (20, w) periodic table across a (20, width) lane vector."""
+    w = t.shape[-1]
+    if w == width:
+        return t
+    return jnp.broadcast_to(
+        t[:, None, :], (fr.NLIMB, width // w, w)
+    ).reshape(fr.NLIMB, width)
+
+
+def _bf(x: jnp.ndarray, a2: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """One flat butterfly pass at FULL chunk width (traced inline).
+
+    a2/b2 are span-periodic coefficient vectors (span = |a2|): for the
+    2x2 tabled butterfly out_first = t0*x_first + t1*x_second,
+    out_second = t2*x_first + t3*x_second, a2 = [t0 | t3] and
+    b2 = [t1 | t2].  The partner element sits at XOR-half, selected from
+    two full-width rolls -- every vector op runs at (20, C) with the
+    large axis minor, so the (8, 128) TPU tiling is fully utilized at
+    EVERY span (the (20, V, s) per-level shapes waste up to 128x of the
+    lanes at small s, measured ~1.2% VPU on the 2^18 extends)."""
+    span = a2.shape[-1]
+    half = span // 2
+    C_ = x.shape[-1]
+    A = _tile(a2, C_)
+    B = _tile(b2, C_)
+    j = jax.lax.iota(jnp.int32, C_)
+    # (j & half) == 0 -> partner at j + half = j | half < C (no wrap);
+    # else partner at j - half >= 0: the wrapped roll lanes are never
+    # selected
+    sw = jnp.where(
+        (j & half) == 0,
+        jnp.roll(x, -half, axis=-1),
+        jnp.roll(x, half, axis=-1),
+    )
+    return fr.add(fr.mul(A, x), fr.mul(B, sw))
 
 
 @jax.jit
-def _dec_small(chunk, d00, d01, d10, d11):
-    """Decompose butterfly, whole subvectors in-chunk.  span = 2*|d00|."""
-    half = d00.shape[-1]
-    span = 2 * half
-    st = chunk.reshape(fr.NLIMB, chunk.shape[-1] // span, span)
-    E0, E1 = st[..., :half], st[..., half:]
-    d00, d01, d10, d11 = (_b(t, st.ndim) for t in (d00, d01, d10, d11))
-    U0 = fr.add(fr.mul(d00, E0), fr.mul(d01, E1))
-    U1 = fr.add(fr.mul(d10, E0), fr.mul(d11, E1))
-    return jnp.concatenate([U0, U1], axis=-1).reshape(chunk.shape)
+def _ext_chain(chunk, dec_ab, rec_ab):
+    """Full extend of every span-s subvector in the chunk, one program:
+    the dec passes (spans s..2) then rec passes (spans 2..s) as flat
+    butterflies.  s = |dec_ab[0][0]|; keyed by the table shapes only."""
+    x = chunk
+    for a2, b2 in dec_ab:
+        x = _bf(x, a2, b2)
+    for a2, b2 in rec_ab:
+        x = _bf(x, a2, b2)
+    return x
+
+
+@jax.jit
+def _enter_level_flat(chunk, dec_ab, rec_ab, xe, xo):
+    """One whole enter level in-chunk (2s <= C): extend all subvectors
+    (flat chain), then the combine
+        out[2t] = u[t] + xe[t] v[t];  out[2t+1] = ue[t] + xo[t] ve[t]
+    with the cross-pair products at full width and only the final
+    interleave as a (s, 2)-minor data movement."""
+    s = xe.shape[-1]
+    C_ = chunk.shape[-1]
+    ext = _ext_chain(chunk, dec_ab, rec_ab) if dec_ab else chunk
+    jj = jax.lax.iota(jnp.int32, C_)
+    swap_pair = lambda t: jnp.where(
+        (jj & s) == 0,
+        jnp.roll(t, -s, axis=-1),
+        jnp.roll(t, s, axis=-1),
+    )
+    f = fr.add(chunk, fr.mul(_tile(xe, C_), swap_pair(chunk)))
+    g = fr.add(ext, fr.mul(_tile(xo, C_), swap_pair(ext)))
+    # first half of each 2s-pair-span holds the valid lanes
+    fh = f.reshape(fr.NLIMB, C_ // (2 * s), 2, s)[:, :, 0, :]
+    gh = g.reshape(fr.NLIMB, C_ // (2 * s), 2, s)[:, :, 0, :]
+    out = jnp.stack([fh, gh], axis=-1)  # (20, U, s, 2)
+    return out.reshape(chunk.shape)
 
 
 @jax.jit
@@ -97,40 +155,11 @@ def _dec_big(e0, e1, d00, d01, d10, d11):
 
 
 @jax.jit
-def _rec_small(chunk, r0, r0x, r1, r1x):
-    """Recombine butterfly, whole pairs in-chunk.  unit span = 2*|r0|."""
-    half = r0.shape[-1]
-    st = chunk.reshape(fr.NLIMB, chunk.shape[-1] // (2 * half), 2, half)
-    U0, U1 = st[..., 0, :], st[..., 1, :]
-    r0, r0x, r1, r1x = (_b(t, U0.ndim) for t in (r0, r0x, r1, r1x))
-    P0 = fr.add(fr.mul(r0, U0), fr.mul(r0x, U1))
-    P1 = fr.add(fr.mul(r1, U0), fr.mul(r1x, U1))
-    return jnp.concatenate([P0, P1], axis=-1).reshape(chunk.shape)
-
-
-@jax.jit
 def _rec_big(u0, u1, r0, r0x, r1, r1x):
     return (
         fr.add(fr.mul(r0, u0), fr.mul(r0x, u1)),
         fr.add(fr.mul(r1, u0), fr.mul(r1x, u1)),
     )
-
-
-@jax.jit
-def _combine_small(st_chunk, ext_chunk, xe, xo):
-    """Enter-level combine, whole (u, v) pairs in-chunk.  s = |xe|.
-    even = u + xe*v on position 2t; odd = u_ext + xo*v_ext on 2t+1
-    (the body of tree._enter_level, flattened)."""
-    s = xe.shape[-1]
-    u_pairs = st_chunk.reshape(fr.NLIMB, st_chunk.shape[-1] // (2 * s), 2, s)
-    e_pairs = ext_chunk.reshape(u_pairs.shape)
-    u, v = u_pairs[..., 0, :], u_pairs[..., 1, :]
-    ue, ve = e_pairs[..., 0, :], e_pairs[..., 1, :]
-    xe, xo = _b(xe, u.ndim), _b(xo, u.ndim)
-    even = fr.add(u, fr.mul(xe, v))
-    odd = fr.add(ue, fr.mul(xo, ve))
-    out = jnp.stack([even, odd], axis=-1)  # (20, U, s, 2)
-    return out.reshape(st_chunk.shape)
 
 
 @jax.jit
@@ -153,12 +182,8 @@ _concat_jit = jax.jit(lambda chunks: jnp.concatenate(chunks, axis=-1))
 # ---------------------------------------------------------------------------
 
 
-def _dec_pass(chunks, span, tabs, C):
-    """One decompose level over all subproblems.  tabs: 4 whole tables
-    (span <= C) or 4 lists of table chunks (span >= 2C)."""
-    if span <= C:
-        t = tabs
-        return [_dec_small(ch, t[0], t[1], t[2], t[3]) for ch in chunks]
+def _dec_pass_big(chunks, span, tabs, C):
+    """One BIG decompose level (span >= 2C): two-chunk butterflies."""
     half = span // 2
     hc = half // C  # chunks per half-span
     out = list(chunks)
@@ -174,12 +199,9 @@ def _dec_pass(chunks, span, tabs, C):
     return out
 
 
-def _rec_pass(chunks, half, tabs, C):
-    """One recombine level: pairs of half-spans -> full spans."""
+def _rec_pass_big(chunks, half, tabs, C):
+    """One BIG recombine level: pairs of half-spans -> full spans."""
     span = 2 * half
-    if span <= C:
-        t = tabs
-        return [_rec_small(ch, t[0], t[1], t[2], t[3]) for ch in chunks]
     hc = half // C
     out = list(chunks)
     n_pairs = (len(chunks) * C) // span
@@ -194,24 +216,29 @@ def _rec_pass(chunks, half, tabs, C):
     return out
 
 
-def _extend_passes(chunks, s, dec_tabs, rec_tabs, C):
-    """Extend every span-s subvector in the chunk list (shared tables).
-    dec_tabs/rec_tabs: per-level table entries from _chunk_tables."""
-    K = len(dec_tabs)
-    assert K == _log2(s), (K, s)
-    for j in range(K):
-        chunks = _dec_pass(chunks, s >> j, dec_tabs[j], C)
-    for j in reversed(range(K)):
-        chunks = _rec_pass(chunks, s >> (j + 1), rec_tabs[j], C)
+def _extend_passes(chunks, s, tabs, C):
+    """Extend every span-s subvector in the chunk list.
+
+    tabs (from FFTree._chunk_tables): dict with the BIG per-level chunked
+    tables (spans > C) and the compact flat-chain A/B pairs (spans <= C).
+    BIG levels run as two-chunk passes; everything at or below chunk
+    width runs as ONE fused chain program per chunk."""
+    K = _log2(s)
+    jb = max(0, K - _log2(C))  # dec levels with span > C
+    assert len(tabs["big_dec"]) >= jb, (len(tabs["big_dec"]), jb)
+    for j in range(jb):
+        chunks = _dec_pass_big(chunks, s >> j, tabs["big_dec"][j], C)
+    dec_ab = tuple(tabs["ab_dec"][j - jb] for j in range(jb, K))
+    rec_ab = tuple(tabs["ab_rec"][j - jb] for j in range(jb, K))[::-1]
+    if dec_ab:
+        chunks = [_ext_chain(ch, dec_ab, rec_ab) for ch in chunks]
+    for j in reversed(range(jb)):
+        chunks = _rec_pass_big(chunks, s >> (j + 1), tabs["big_rec"][j], C)
     return chunks
 
 
-def _combine_pass(st, ext, s, xe_tabs, xo_tabs, C):
-    """One enter level's combine over all (u, v) pairs."""
-    if 2 * s <= C:
-        return [
-            _combine_small(a, b, xe_tabs, xo_tabs) for a, b in zip(st, ext)
-        ]
+def _combine_pass_big(st, ext, s, xe_tabs, xo_tabs, C):
+    """One enter level's combine over all (u, v) pairs (s >= C)."""
     sc = s // C  # chunks per subvector
     out = list(st)
     n_pairs = (len(st) * C) // (2 * s)
@@ -280,13 +307,13 @@ def extend(tree, evals, moiety: str, d: int):
     """Chunked FFTree.extend for unbatched (20, m) inputs."""
     C = chunk_elems()
     m = evals.shape[-1]
-    dec_t, rec_t = tree._chunk_tables(d, moiety, C)
+    tabs = tree._chunk_tables(d, moiety, C)
     chunks = (
         upload_chunks(evals, C)
         if isinstance(evals, np.ndarray)
         else device_chunks(evals, C)
     )
-    chunks = _extend_passes(chunks, m, dec_t, rec_t, C)
+    chunks = _extend_passes(chunks, m, tabs, C)
     return _concat_jit(chunks)
 
 
@@ -302,13 +329,24 @@ def enter(tree, coeffs, d: int):
     )
     for k in reversed(range(K)):
         s = n >> (k + 1)  # subvector span entering this level
-        if s > 1:
-            dec_t, rec_t = tree._chunk_tables(d + k, "S1", C)
-            ext = _extend_passes(list(chunks), s, dec_t, rec_t, C)
+        if 2 * s <= C:
+            # whole level (extend-all + combine) fused per chunk
+            if s > 1:
+                tabs = tree._chunk_tables(d + k, "S1", C)
+                dec_ab = tuple(tabs["ab_dec"])
+                rec_ab = tuple(tabs["ab_rec"])[::-1]
+            else:
+                dec_ab = rec_ab = ()
+            xe_t, xo_t = tree._xnn_chunks(d + k, C)
+            chunks = [
+                _enter_level_flat(ch, dec_ab, rec_ab, xe_t, xo_t)
+                for ch in chunks
+            ]
         else:
-            ext = chunks  # extend of length-1 subvectors is the identity
-        xe_t, xo_t = tree._xnn_chunks(d + k, C)
-        chunks = _combine_pass(chunks, ext, s, xe_t, xo_t, C)
+            tabs = tree._chunk_tables(d + k, "S1", C)
+            ext = _extend_passes(list(chunks), s, tabs, C)
+            xe_t, xo_t = tree._xnn_chunks(d + k, C)
+            chunks = _combine_pass_big(chunks, ext, s, xe_t, xo_t, C)
     return _concat_jit(chunks)
 
 
@@ -326,19 +364,25 @@ def warm_jobs():
 
     ch = Z(C)
     jobs = []
-    for half_lg in range(_log2(C)):  # SMALL spans 2..C
-        t = Z(1 << half_lg)
-        jobs.append(
-            (f"dec_small_{1 << half_lg}", lambda t=t: _dec_small(ch, t, t, t, t))
+
+    def mk_ab(s_entry):
+        dec = tuple(
+            (Z(s_entry >> j), Z(s_entry >> j))
+            for j in range(_log2(s_entry))
         )
+        return dec, dec[::-1]
+
+    # the full-chunk chain (prove extends above C and the BIG enter
+    # levels always enter the chain at span C)
+    d, r = mk_ab(C)
+    jobs.append(("ext_chain_C", lambda d=d, r=r: _ext_chain(ch, d, r)))
+    for lg in range(_log2(C)):  # fused enter levels: s = 1..C/2
+        s = 1 << lg
+        d, r = mk_ab(s) if s > 1 else ((), ())
+        xe = Z(s)
         jobs.append(
-            (f"rec_small_{1 << half_lg}", lambda t=t: _rec_small(ch, t, t, t, t))
-        )
-    for s_lg in range(_log2(C)):  # SMALL combine: s = 1..C/2
-        xe = Z(1 << s_lg)
-        jobs.append(
-            (f"combine_small_{1 << s_lg}",
-             lambda xe=xe: _combine_small(ch, ch, xe, xe))
+            (f"enter_level_{s}",
+             lambda d=d, r=r, xe=xe: _enter_level_flat(ch, d, r, xe, xe))
         )
     jobs.append(("dec_big", lambda: _dec_big(ch, ch, ch, ch, ch, ch)))
     jobs.append(("rec_big", lambda: _rec_big(ch, ch, ch, ch, ch, ch)))

@@ -361,17 +361,47 @@ class FFTree:
         return self._ext_cache[key]
 
     def _chunk_tables(self, d: int, moiety: str, C: int):
-        """Chunked-path device tables: per level, 4 whole arrays (SMALL
-        spans) or 4 lists of C-chunks (BIG spans).  Cached per view."""
+        """Chunked-path device tables for the extend at view d.
+
+        dict with:
+          big_dec / big_rec: per BIG level (span > C), 4 lists of C-chunk
+            device tables for the two-chunk passes;
+          ab_dec / ab_rec: per SMALL level (span <= C), the compact
+            span-periodic flat-chain coefficient pairs
+            A = [t0 | t3], B = [t1 | t2] (see chunked._bf).
+        Cached per view."""
         key = ("chunktab", d, moiety, C)
         if key not in self._dev_cache:
             from dvpari_tpu.fftree import chunked
 
             dec_np, rec_np = self._extend_consts_np(d, moiety)
-            self._dev_cache[key] = (
-                [tuple(chunked.chunk_table(v, C) for v in t) for t in dec_np],
-                [tuple(chunked.chunk_table(v, C) for v in t) for t in rec_np],
+            K = len(dec_np)
+            jb = max(0, K - _log2(C))  # levels with span > C
+            put = lambda a: jax.device_put(jnp.asarray(np.ascontiguousarray(a)))
+            ab = lambda t0, t3, t1, t2: (
+                put(np.concatenate([t0, t3], axis=-1)),
+                put(np.concatenate([t1, t2], axis=-1)),
             )
+            self._dev_cache[key] = {
+                "big_dec": [
+                    tuple(chunked.chunk_table(v, C) for v in dec_np[j])
+                    for j in range(jb)
+                ],
+                "big_rec": [
+                    tuple(chunked.chunk_table(v, C) for v in rec_np[j])
+                    for j in range(jb)
+                ],
+                # dec level j: U0 = d00 E0 + d01 E1; U1 = d10 E0 + d11 E1
+                "ab_dec": [
+                    ab(dec_np[j][0], dec_np[j][3], dec_np[j][1], dec_np[j][2])
+                    for j in range(jb, K)
+                ],
+                # rec level j: P0 = r0 U0 + r0x U1; P1 = r1 U0 + r1x U1
+                "ab_rec": [
+                    ab(rec_np[j][0], rec_np[j][3], rec_np[j][1], rec_np[j][2])
+                    for j in range(jb, K)
+                ],
+            }
         return self._dev_cache[key]
 
     def _xnn(self, d: int):

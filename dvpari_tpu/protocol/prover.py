@@ -157,21 +157,22 @@ def prove(
         assert inst.num_constraints == m
         gnark.add_vandermonde_matrix(inst, dom)
 
-    head = fr.from_int([1] + [int(x) % fr.P for x in public_inputs])
-    if isinstance(private_inputs, (np.ndarray, jnp.ndarray)):
-        # scale path: private inputs pre-converted to limbs
-        # (gnark.load_witness_limbs), no python-int loop over the witness
-        w_dev = jnp.concatenate(
-            [jnp.asarray(head), jnp.asarray(private_inputs)], axis=-1
-        )
-    else:
-        w_dev = jnp.asarray(
-            np.concatenate(
-                [head, fr.from_int([int(x) % fr.P for x in private_inputs])],
-                axis=-1,
+    with phase("prove.witness"):
+        head = fr.from_int([1] + [int(x) % fr.P for x in public_inputs])
+        if isinstance(private_inputs, (np.ndarray, jnp.ndarray)):
+            # scale path: private inputs pre-converted to limbs
+            # (gnark.load_witness_limbs), no python-int loop over the witness
+            w_dev = jnp.concatenate(
+                [jnp.asarray(head), jnp.asarray(private_inputs)], axis=-1
             )
-        )
-    n_wires = int(w_dev.shape[-1])
+        else:
+            w_dev = jnp.asarray(
+                np.concatenate(
+                    [head, fr.from_int([int(x) % fr.P for x in private_inputs])],
+                    axis=-1,
+                )
+            )
+        n_wires = int(w_dev.shape[-1])
 
     with phase("prove.matvec"):
         coeffs_dev = gnark.coeffs_device(inst)
@@ -195,10 +196,12 @@ def prove(
         )
 
     # witness satisfaction: a*b == c + i on D (reference asserts per row,
-    # src/proving.rs:388-395)
-    assert bool(_jit_sat_check(a_vals, b_vals, c_vals, i_vals)), (
-        "witness does not satisfy the SR1CS relation"
-    )
+    # src/proving.rs:388-395).  The bool() fetch drains the device queue,
+    # so this phase also absorbs the matvec/monomial execution.
+    with phase("prove.sat_check"):
+        assert bool(_jit_sat_check(a_vals, b_vals, c_vals, i_vals)), (
+            "witness does not satisfy the SR1CS relation"
+        )
 
     with phase("prove.msm_gm", n=n_wires):
         gm_path = os.path.join(cache_dir, art.SRS_G_M)
