@@ -119,6 +119,8 @@ def warm_protocol_programs(m: int, n_pubs: int = 0, for_prove: bool = False):
         # overlap its (size-independent) program universe too
         jobs += chunked.warm_jobs()
     if not for_prove:
+        from dvpari_tpu.ops import xsk233 as _xk
+
         jobs += [
             ("lagrange_at_tau",
              lambda: _jit_lagrange_at_tau(Z(m + 1), Z(), Z(m), Z(m))),
@@ -126,6 +128,9 @@ def warm_protocol_programs(m: int, n_pubs: int = 0, for_prove: bool = False):
              lambda: _jit_lagrange_unified(
                  Z(), Z(m), Z(m), Z(m + 1), Z(m + 1), Z(m), Z(m))),
         ]
+        # the SRS fan-out's device-recode + mulgen-ladder programs (all
+        # fan-out batches are ~m wide, so one key set serves g_m/g_q/g_k)
+        jobs += _xk.warm_fanout_jobs(m)
     else:
         from dvpari_tpu.protocol import prover as _pr
 

@@ -402,10 +402,10 @@ def _recode_cols() -> int:
 
 def _recode_impl() -> str:
     """"device" (default): tau-NAF recoding runs on-chip as a jitted XLA
-    program (ops/tnaf_device.py) -- the MSM never touches the host.
-    "host": the native OpenMP recoder with chunk-pipelined transfers
-    (kept as an escape hatch and for the fixed-base mulgen fan-out,
-    whose outputs are written to disk anyway)."""
+    program (ops/tnaf_device.py) for BOTH the variable-base MSM and the
+    fixed-base mulgen fan-out.  "host": the native OpenMP recoder with
+    chunk-pipelined transfers (escape hatch; contention-sensitive on the
+    4-core host)."""
     import os
 
     return os.environ.get("DVPARI_RECODE", "device")
@@ -771,6 +771,133 @@ def _mulgen_bs_host(scalars: jnp.ndarray) -> "tuple[np.ndarray, np.ndarray]":
     return proj, planes
 
 
+_mulgen_chunk_jits: dict = {}
+
+
+def _mulgen_device_programs(n: int, canon_shape):
+    """Jit wrappers for the device-recode fan-out at batch size n:
+    (slice_canon, recode_fn, ladder_fn, ck, rck, Cp, Cpr).  Keyed
+    exactly like _msm_device_recoded's (shared _recode_chunk_jits --
+    the MSM's compiled recode program serves the fan-out too); factored
+    out so warm_fanout_jobs can compile the same programs concurrently
+    at setup start instead of paying them serially inside g_m."""
+    from dvpari_tpu.ops import pallas_msm
+    from dvpari_tpu.ops import tnaf_device as tdev
+
+    C = -(-n // 32)
+    ck = _msm_chunk_cols()
+    Cp = -(-C // ck) * ck
+    rck = max(_recode_cols() // ck, 1) * ck
+    rck = min(rck, Cp)
+    Cpr = -(-Cp // rck) * rck
+    sk = ((canon_shape[0], 32 * Cpr), rck)
+    if sk not in _slice_canon_jits:
+        _slice_canon_jits[sk] = jax.jit(
+            lambda c, i: jax.lax.dynamic_slice_in_dim(c, i, 32 * rck, axis=1)
+        )
+    if rck not in _recode_chunk_jits:
+        _recode_chunk_jits[rck] = jax.jit(tdev.recode_masks)
+    lk = (rck, ck)
+    if lk not in _mulgen_chunk_jits:
+        _mulgen_chunk_jits[lk] = jax.jit(
+            lambda oh, ng, tab, m0: pallas_msm.mulgen_packed(
+                jax.lax.dynamic_slice_in_dim(oh, m0, ck, axis=2),
+                jax.lax.dynamic_slice_in_dim(ng, m0, ck, axis=1),
+                tab,
+            )
+        )
+    return (
+        _slice_canon_jits[sk],
+        _recode_chunk_jits[rck],
+        _mulgen_chunk_jits[lk],
+        ck,
+        rck,
+        Cp,
+        Cpr,
+    )
+
+
+def warm_fanout_jobs(n: int) -> "list":
+    """(name, thunk) compile jobs for the fan-out program universe at
+    batch size n -- fed to warm_protocol_programs' thread pool so the
+    recode + mulgen-ladder compiles overlap the setup's tree/vanishing
+    phases.  Zero operands are valid executions (zero scalars recode to
+    infinity; the ladder's complete formulas accept it)."""
+    from dvpari_tpu.ops import fr
+
+    if not (_mulgen_use_bs(n) and _recode_impl() == "device"):
+        return []
+
+    def _run():
+        _, recode_fn, ladder_fn, ck, rck, _, _ = _mulgen_device_programs(
+            n, (fr.NLIMB, n)
+        )
+        oh, ng, _ = recode_fn(jnp.zeros((fr.NLIMB, 32 * rck), jnp.int32))
+        ladder_fn(oh, ng, jnp.asarray(_gen_table_planes()), 0)
+
+    return [("mulgen_fanout", _run)]
+
+
+def _mulgen_bs_device(scalars: jnp.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Bit-sliced fixed-base fan-out with ON-DEVICE tau-NAF recoding.
+
+    The host-recode pipeline (_mulgen_bs_host) bottoms out on the 4-core
+    native recoder plus two O(n) tunnel transfers per chunk (canonical
+    scalars D2H ~80 B/pt, digit masks H2D ~93 B/pt): measured ~3.3k
+    pts/s on the m=2^18 g_m fan-out (JOURNAL r5 ladder).  Here the
+    scalars never leave the chip: the SAME wide-batch recode program the
+    variable-base MSM compiles (_recode_chunk_jits, ops/tnaf_device.py)
+    feeds a fixed-chunk-width mulgen ladder whose offsets are
+    dynamic_slice ARGUMENTS -- one compiled ladder serves every fan-out
+    at every size -- and the only host traffic is the result planes
+    (~87 B/pt), drained one chunk behind dispatch so the fetch overlaps
+    the next chunk's ladder.  Recode self-checks are asserted after the
+    final fetch.  (reference: the xsk233_mulgen_frob fan-out loop,
+    src/srs.rs:131-159 -- its hottest setup phase)"""
+    global _strongnorm_jit
+    from dvpari_tpu.ops import fr
+    from dvpari_tpu.ops import xsk233_bs as bs
+
+    if _strongnorm_jit is None:
+        _strongnorm_jit = jax.jit(fr.strong_normalize)
+    n = int(scalars.shape[-1])
+    C = -(-n // 32)
+    slice_canon, recode_fn, ladder_fn, ck, rck, Cp, Cpr = (
+        _mulgen_device_programs(n, scalars.shape)
+    )
+    canon = _strongnorm_jit(scalars)
+    if canon.shape[-1] != 32 * Cpr:  # zero scalars recode to infinity
+        canon = jnp.pad(canon, ((0, 0), (0, 32 * Cpr - canon.shape[-1])))
+    table = jnp.asarray(_gen_table_planes())
+
+    proj = np.zeros((3, gf2.NWORD, n), dtype=np.uint32)
+    planes = np.zeros((3, bs.M, C), dtype=np.uint32)
+
+    def drain(out, c0):
+        cols = min(ck, C - c0)
+        if cols <= 0:
+            return
+        pl = np.asarray(jax.device_get(out))[..., :cols]
+        planes[:, :, c0 : c0 + cols] = pl
+        lo, hi = 32 * c0, min(32 * (c0 + cols), n)
+        proj[..., lo:hi] = bs.unpack_points(pl)[..., : hi - lo]
+
+    oks, pending = [], None
+    for r0 in range(0, Cp, rck):
+        oh, ng, ok = recode_fn(slice_canon(canon, 32 * r0))
+        oks.append(ok)
+        for c0 in range(r0, min(r0 + rck, Cp), ck):
+            out = ladder_fn(oh, ng, table, c0 - r0)
+            if pending is not None:
+                drain(*pending)
+            pending = (out, c0)
+    if pending is not None:
+        drain(*pending)
+    if not all(bool(jax.device_get(ok)) for ok in oks):
+        raise AssertionError("on-device tau-NAF recode self-check failed")
+    return proj, planes
+
+
 def _mulgen_use_bs(n: int) -> bool:
     import os
 
@@ -790,6 +917,8 @@ def mulgen_limbs_host(scalars: jnp.ndarray) -> "tuple[np.ndarray, np.ndarray]":
 
     n = int(scalars.shape[-1])
     if _mulgen_use_bs(n):
+        if _recode_impl() == "device":
+            return _mulgen_bs_device(scalars)
         return _mulgen_bs_host(scalars)
     idx, sgn = recode_limbs(scalars)
     g = jnp.broadcast_to(generator().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, n))
@@ -809,7 +938,10 @@ def mulgen_limbs(scalars: jnp.ndarray) -> jnp.ndarray:
     tests) the word-sliced lane ladder."""
     n = int(scalars.shape[-1])
     if _mulgen_use_bs(n):
-        proj, _ = _mulgen_bs_host(scalars)
+        if _recode_impl() == "device":
+            proj, _ = _mulgen_bs_device(scalars)
+        else:
+            proj, _ = _mulgen_bs_host(scalars)
         return jnp.asarray(proj)
     idx, sgn = recode_limbs(scalars)
     g = jnp.broadcast_to(generator().reshape(3, gf2.NWORD, 1), (3, gf2.NWORD, n))

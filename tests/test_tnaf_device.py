@@ -153,3 +153,40 @@ def test_msm_interpret_matches_host_oracle(no_persistent_compile_cache):
     ]
     zi = gh.inv_int(Z)
     assert (gh.mul_int(X, zi), gh.mul_int(Y, zi)) == want
+
+
+def test_mulgen_device_recode_vs_host_oracle(monkeypatch):
+    """The fan-out path with ON-DEVICE recoding (xsk233.py:
+    _mulgen_bs_device): wide-batch recode, dynamic-slice ladder chunks,
+    pipelined host drain -- vs host smul of G.  Pallas entry stubbed
+    with the XLA twin; ragged tail (n % 32 != 0), zero scalar, and a
+    recode batch spanning two ladder chunks all exercised.  Checks both
+    returned layouts (proj words and bit planes) agree."""
+    import random
+
+    from dvpari_tpu.ops import pallas_msm, xsk233
+    from dvpari_tpu.ops import xsk233_bs as bs
+    from dvpari_tpu.utils import xsk233_host as host
+
+    monkeypatch.setattr(
+        pallas_msm,
+        "mulgen_packed",
+        lambda oh, ng, tab: bs.mulgen_packed(oh, ng, tab),
+    )
+    monkeypatch.setenv("DVPARI_MSM_IMPL", "bs")
+    monkeypatch.setenv("DVPARI_RECODE", "device")
+    monkeypatch.setenv("DVPARI_MSM_CHUNK_COLS", "2")  # 64-point chunks
+    monkeypatch.setenv("DVPARI_RECODE_COLS", "4")  # 2 chunks per batch
+    rng = random.Random(31)
+    n = 150  # chunks: 64 + 64 + ragged 22 (non-multiple of 32)
+    ks = [rng.randrange(0, host.R) for _ in range(n)]
+    ks[100] = 0
+    proj, planes = xsk233.mulgen_limbs_host(jnp.asarray(fr.from_int(ks)))
+    assert proj.shape == (3, 8, n) and planes.shape[-1] == -(-n // 32)
+    np.testing.assert_array_equal(
+        bs.unpack_points(planes)[..., :n], proj
+    )
+    got = xsk233.to_affine_int(jnp.asarray(proj))
+    for j in (0, 63, 64, 99, 100, 127, 128, 149):  # chunk edges + tail
+        expect = host.smul(ks[j], (host.GX, host.GY)) if ks[j] else None
+        assert got[j] == expect, f"slot {j}"
