@@ -153,6 +153,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # multi-host: the DVPARI_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID env
+    # triple lights up jax.distributed before any backend touch; no-op
+    # single-host (parallel/multihost.py)
+    from dvpari_tpu.parallel import multihost
+
+    multihost.maybe_initialize()
     args.fn(args)
 
 
