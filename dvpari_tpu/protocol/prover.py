@@ -128,6 +128,47 @@ _jit_in_domain = jax.jit(
 )
 
 
+_ctx_cache: dict = {}
+
+
+def _prove_context(cache_dir: str, n_pubs: int):
+    """Per-circuit host context -- (z_poly, tree2n, parsed instance with
+    the Vandermonde splice applied) -- cached across prove() calls.
+
+    Repeated proves over one circuit are the production serving pattern
+    and the reference's own benchmark shape (prove loops over fresh
+    witnesses, src/dvsnark_test.rs:184-244; its SRS/tree artifacts stay
+    loaded between iterations).  Re-reading the 2n-leaf tree and
+    re-parsing the R1CS dump cost 3.4 s + 1.8 s of the 23.2 s warm
+    prove at m=2^18 (JOURNAL r5 ladder).  Single slot (most recent
+    circuit) bounds host RAM; keyed by realpath + n_pubs and stamped
+    with the z_poly/r1cs artifact mtimes so a regenerated cache
+    invalidates."""
+    key = (os.path.realpath(cache_dir), n_pubs)
+    r1cs_path = os.path.join(cache_dir, art.R1CS_CONSTRAINTS_FILE)
+    z_path = os.path.join(cache_dir, art.Z_POLY)
+
+    def _stamp():
+        return (os.path.getmtime(z_path), os.path.getmtime(r1cs_path))
+
+    hit = _ctx_cache.get(key)
+    if hit is not None and hit[0] == _stamp():
+        return hit[1]
+    z_poly = art.read_fr_vec(z_path)
+    m = z_poly.shape[-1] - 1
+    n_log = m.bit_length() - 1
+    tree2n = _load_or_build_tree(cache_dir, art.TREE_2N, 2 * m, False, n_log + 1)
+    with phase("prove.r1cs"):
+        with open(r1cs_path, "rb") as f:
+            inst = gnark.instance_from_dump(f.read(), n_pubs)
+        assert inst.num_constraints == m
+        gnark.add_vandermonde_matrix(inst, tree2n.both_domains()[0])
+    ctx = (z_poly, tree2n, inst)
+    _ctx_cache.clear()
+    _ctx_cache[key] = (_stamp(), ctx)
+    return ctx
+
+
 def prove(
     cache_dir: str,
     public_inputs: "list[int]",
@@ -143,19 +184,11 @@ def prove(
     butterfly collectives.  Proof bytes are identical either way (the
     sharded fold is the same pairwise tree)."""
     with phase("prove.load_tree"):
-        z_poly = art.read_fr_vec(os.path.join(cache_dir, art.Z_POLY))
+        z_poly, tree2n, inst = _prove_context(cache_dir, len(public_inputs))
         m = z_poly.shape[-1] - 1
-        n_log = m.bit_length() - 1
         # overlap the singleton-program compiles with the pipeline
         pre.warm_protocol_programs(m, len(public_inputs), for_prove=True)
-        tree2n = _load_or_build_tree(cache_dir, art.TREE_2N, 2 * m, False, n_log + 1)
         dom, dom2 = tree2n.both_domains()
-
-    with phase("prove.r1cs"):
-        with open(os.path.join(cache_dir, art.R1CS_CONSTRAINTS_FILE), "rb") as f:
-            inst = gnark.instance_from_dump(f.read(), len(public_inputs))
-        assert inst.num_constraints == m
-        gnark.add_vandermonde_matrix(inst, dom)
 
     with phase("prove.witness"):
         head = fr.from_int([1] + [int(x) % fr.P for x in public_inputs])
