@@ -446,7 +446,12 @@ def _msm_device_recoded(canon_dev, planes, on_device, C, ck):
 
     Cp = -(-C // ck) * ck  # pad to whole ladder chunks
     rck = max(_recode_cols() // ck, 1) * ck  # recode batch width
-    rck = min(rck, Cp)  # never wider than the chunk-padded MSM
+    # rck is NOT clamped to Cp: a fixed recode width keeps the compile
+    # key set at exactly one (rck) + one (rck, ck) for EVERY problem
+    # size (a clamp made n=65537 produce rck=2560 and n=65536 rck=2048
+    # -- two extra ~minutes-scale tunnel compiles for nothing).  Tail
+    # waste is bounded by one recode batch of scan time (~0.45 s at
+    # 4096 cols); the ladder loop still clips to Cp.
     Cpr = -(-Cp // rck) * rck  # recode-batch padding (canon only)
     if canon_dev.shape[-1] != 32 * Cpr:  # zero scalars recode to infinity
         canon_dev = jnp.pad(
@@ -787,8 +792,7 @@ def _mulgen_device_programs(n: int, canon_shape):
     C = -(-n // 32)
     ck = _msm_chunk_cols()
     Cp = -(-C // ck) * ck
-    rck = max(_recode_cols() // ck, 1) * ck
-    rck = min(rck, Cp)
+    rck = max(_recode_cols() // ck, 1) * ck  # unclamped: one key set
     Cpr = -(-Cp // rck) * rck
     sk = ((canon_shape[0], 32 * Cpr), rck)
     if sk not in _slice_canon_jits:

@@ -107,6 +107,10 @@ def test_msm_chunked_device_recode_vs_host_oracle(monkeypatch):
     monkeypatch.setenv("DVPARI_MSM_IMPL", "bs")
     monkeypatch.setenv("DVPARI_RECODE", "device")
     monkeypatch.setenv("DVPARI_MSM_CHUNK_COLS", "2")  # 64-point chunks
+    # recode width is no longer clamped to the MSM size (one compile
+    # key for all sizes); pin it small so the CPU test doesn't scan a
+    # 131k-lane zero-padded batch
+    monkeypatch.setenv("DVPARI_RECODE_COLS", "4")
     rng = random.Random(23)
     n = 150  # chunks: 64 + 64 + ragged 22 (non-multiple of 32)
     ks = [rng.randrange(0, host.R) for _ in range(n)]
