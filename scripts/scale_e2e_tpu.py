@@ -57,8 +57,9 @@ def synth_circuit(n_rows):
     return synth_squaring_chain(n_rows - 2)
 
 
-def main():
-    log_m = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+def main(log_m: "int | None" = None):
+    if log_m is None:
+        log_m = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     m = 1 << log_m
     variant = "mt" if os.environ.get("DVPARI_SCALE_CIRCUIT") == "multiterm" else ""
     print(
