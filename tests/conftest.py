@@ -109,10 +109,15 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     """Two-tier suite (the reference's one-command `cargo test` takes
-    minutes; here XLA:CPU compiles of the big crypto graphs push a cold
-    full run to ~50 min).  Default tier: <5 min warm, covers every
-    subsystem.  Slow tier: interpret-mode Pallas kernels, the toy e2e,
-    at-scale kronecker -- run with DVPARI_SLOW_TESTS=1."""
+    minutes; here XLA:CPU compiles of the big crypto graphs dominate).
+    Default tier covers every subsystem.  MEASURED r5 on the 4-core
+    box, both while sharing the host with a TPU ladder run: cold cache
+    2 h 13 min (94 passed / 12 skipped, .logs r5_cold), warm cache
+    ~45 min (.logs r5_warm) -- the earlier "<5 min warm" claim was
+    never substantiated and is withdrawn; most warm time is genuine
+    crypto execution, not compiles.  Slow tier adds interpret-mode
+    Pallas kernels, the toy e2e, at-scale kronecker:
+    DVPARI_SLOW_TESTS=1."""
     if os.environ.get("DVPARI_SLOW_TESTS"):
         return
     skip = pytest.mark.skip(
